@@ -1,0 +1,279 @@
+"""Kolmogorov–Arnold layer modules (flax.linen).
+
+TPU-native re-implementations of the two KAN families the reference vendors:
+
+  * `KANLinear` / `KAN` — B-spline KAN ("efficient-kan"), semantics matching
+    reference node_classification_clean/ekan.py:7-281 (weights ported from the
+    torch modules produce allclose outputs; see tests/test_kan_parity.py).
+  * `FastKANLayer` / `FastKAN` — RBF KAN ("fastkan"), semantics matching
+    reference node_classification_clean/fastkan.py:22-145.
+
+Mutable spline knot grids live in the 'buffers' variable collection (the
+torch `register_buffer` analogue); running stats of norms live in
+'batch_stats'. The hot-path compute (basis + two GEMMs) optionally dispatches
+to fused Pallas kernels that keep the (batch, in, n_basis) tensor out of HBM.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from kagnn_tpu.kan import bspline, rbf
+
+Array = jax.Array
+
+
+def kaiming_uniform_init(a: float, shape_fan_in_last: bool = True):
+    """torch.nn.init.kaiming_uniform_(w, a) for weight (out, in):
+    gain = sqrt(2 / (1 + a^2)); bound = gain * sqrt(3 / fan_in)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[-1] if shape_fan_in_last else shape[0]
+        gain = math.sqrt(2.0 / (1.0 + a * a))
+        bound = gain * math.sqrt(3.0 / fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class KANLinear(nn.Module):
+    """B-spline KAN linear layer.
+
+    out = SiLU(x) @ base_weight.T
+        + flatten(B_splines(x)) @ flatten(spline_weight * spline_scaler).T
+
+    Parameter shapes / defaults mirror reference ekan.py:8-77.
+    """
+
+    in_features: int
+    out_features: int
+    grid_size: int = 5
+    spline_order: int = 3
+    scale_noise: float = 0.1
+    scale_base: float = 1.0
+    scale_spline: float = 1.0
+    enable_standalone_scale_spline: bool = True
+    base_activation: Callable[[Array], Array] = jax.nn.silu
+    grid_eps: float = 0.02
+    grid_range: tuple[float, float] = (-1.0, 1.0)
+    fused: bool = False  # dispatch basis+GEMM to the fused Pallas kernel
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        n_coeff = self.grid_size + self.spline_order
+        init_grid = bspline.make_grid(
+            self.in_features, self.grid_size, self.spline_order, self.grid_range)
+        self.grid = self.variable(
+            "buffers", "grid", lambda: init_grid.astype(self.param_dtype))
+
+        self.base_weight = self.param(
+            "base_weight",
+            kaiming_uniform_init(math.sqrt(5) * self.scale_base),
+            (self.out_features, self.in_features),
+            self.param_dtype,
+        )
+
+        def spline_init(key):
+            # reference ekan.py:59-74 — fit random noise with curve2coeff
+            noise = (
+                (jax.random.uniform(
+                    key, (self.grid_size + 1, self.in_features, self.out_features),
+                    self.param_dtype) - 0.5)
+                * self.scale_noise / self.grid_size
+            )
+            pts = init_grid.T[self.spline_order:-self.spline_order]
+            coeffs = bspline.curve2coeff(pts, noise, init_grid, self.spline_order)
+            if not self.enable_standalone_scale_spline:
+                coeffs = coeffs * self.scale_spline
+            return coeffs.astype(self.param_dtype)
+
+        self.spline_weight = self.param("spline_weight", lambda key, *_: spline_init(key),
+                                        (self.out_features, self.in_features, n_coeff))
+        if self.enable_standalone_scale_spline:
+            self.spline_scaler = self.param(
+                "spline_scaler",
+                kaiming_uniform_init(math.sqrt(5) * self.scale_spline),
+                (self.out_features, self.in_features),
+                self.param_dtype,
+            )
+
+    @property
+    def scaled_spline_weight(self) -> Array:
+        if self.enable_standalone_scale_spline:
+            return self.spline_weight * self.spline_scaler[..., None]
+        return self.spline_weight
+
+    def __call__(self, x: Array) -> Array:
+        orig_shape = x.shape
+        x = x.reshape(-1, self.in_features)
+        grid = self.grid.value
+
+        if self.fused:
+            from kagnn_tpu.pallas import bspline_fused
+
+            out = bspline_fused.kan_linear_fused(
+                x, grid, self.base_weight, self.scaled_spline_weight,
+                self.spline_order)
+        else:
+            base = self.base_activation(x) @ self.base_weight.T
+            bases = bspline.b_splines(x, grid, self.spline_order)
+            w = self.scaled_spline_weight.reshape(self.out_features, -1)
+            out = base + bases.reshape(x.shape[0], -1) @ w.T
+        return out.reshape(*orig_shape[:-1], self.out_features)
+
+    def regularization_loss(
+        self, regularize_activation: float = 1.0, regularize_entropy: float = 1.0
+    ) -> Array:
+        """Fake-L1 + entropy regularizer, reference ekan.py:213-233."""
+        l1_fake = jnp.abs(self.spline_weight).mean(-1)
+        reg_act = l1_fake.sum()
+        p = l1_fake / reg_act
+        reg_ent = -jnp.sum(p * jnp.log(p))
+        return regularize_activation * reg_act + regularize_entropy * reg_ent
+
+
+class KAN(nn.Module):
+    """Stack of KANLinear layers (reference ekan.py:236-281)."""
+
+    layers_hidden: Sequence[int]
+    grid_size: int = 5
+    spline_order: int = 3
+    scale_noise: float = 0.1
+    scale_base: float = 1.0
+    scale_spline: float = 1.0
+    base_activation: Callable[[Array], Array] = jax.nn.silu
+    grid_eps: float = 0.02
+    grid_range: tuple[float, float] = (-1.0, 1.0)
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array | None = None,
+                 train: bool = False) -> Array:
+        # mask/train accepted (and ignored) for the shared update-net calling
+        # convention with MLP (which needs them for masked BatchNorm).
+        del mask, train
+        for i, (fin, fout) in enumerate(
+            zip(self.layers_hidden[:-1], self.layers_hidden[1:])
+        ):
+            x = KANLinear(
+                fin, fout,
+                grid_size=self.grid_size,
+                spline_order=self.spline_order,
+                scale_noise=self.scale_noise,
+                scale_base=self.scale_base,
+                scale_spline=self.scale_spline,
+                base_activation=self.base_activation,
+                grid_eps=self.grid_eps,
+                grid_range=self.grid_range,
+                fused=self.fused,
+                name=f"layers_{i}",
+            )(x)
+        return x
+
+
+class FastKANLayer(nn.Module):
+    """RBF KAN layer: spline_linear(rbf(layernorm(x))) + base_linear(silu(x)).
+
+    Semantics per reference fastkan.py:49-85; defaults grid [-2, 2] x 8,
+    layernorm + base update on.
+    """
+
+    input_dim: int
+    output_dim: int
+    grid_min: float = -2.0
+    grid_max: float = 2.0
+    num_grids: int = 8
+    use_base_update: bool = True
+    use_layernorm: bool = True
+    base_activation: Callable[[Array], Array] = jax.nn.silu
+    spline_weight_init_scale: float = 0.1
+    fused: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.use_layernorm:
+            assert self.input_dim > 1, (
+                "Do not use layernorms on 1D inputs. Set use_layernorm=False.")
+            self.layernorm = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype)
+        self.denominator = (self.grid_max - self.grid_min) / (self.num_grids - 1)
+        # spline_linear: bias-free, trunc-normal(std=init_scale) — fastkan.py:22-28
+        self.spline_weight = self.param(
+            "spline_weight",
+            lambda key, shape, dtype: self.spline_weight_init_scale
+            * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype),
+            (self.output_dim, self.input_dim * self.num_grids),
+            self.param_dtype,
+        )
+        if self.use_base_update:
+            # torch nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in))
+            bound = 1.0 / math.sqrt(self.input_dim)
+            self.base_weight = self.param(
+                "base_weight",
+                lambda key, shape, dtype: jax.random.uniform(
+                    key, shape, dtype, -bound, bound),
+                (self.output_dim, self.input_dim),
+                self.param_dtype,
+            )
+            self.base_bias = self.param(
+                "base_bias",
+                lambda key, shape, dtype: jax.random.uniform(
+                    key, shape, dtype, -bound, bound),
+                (self.output_dim,),
+                self.param_dtype,
+            )
+
+    def __call__(self, x: Array, use_layernorm: bool = True) -> Array:
+        orig_shape = x.shape
+        x = x.reshape(-1, self.input_dim)
+        xs = self.layernorm(x) if (self.use_layernorm and use_layernorm) else x
+
+        if self.fused:
+            from kagnn_tpu.pallas import rbf_fused
+
+            ret = rbf_fused.fastkan_fused(
+                xs, self.spline_weight, self.grid_min, self.grid_max,
+                self.num_grids, self.denominator)
+        else:
+            grid = rbf.make_rbf_grid(self.grid_min, self.grid_max, self.num_grids)
+            basis = rbf.rbf_basis(xs, grid, self.denominator)
+            ret = basis.reshape(x.shape[0], -1) @ self.spline_weight.T
+        if self.use_base_update:
+            ret = ret + self.base_activation(x) @ self.base_weight.T + self.base_bias
+        return ret.reshape(*orig_shape[:-1], self.output_dim)
+
+
+class FastKAN(nn.Module):
+    """Stack of FastKANLayer (reference fastkan.py:118-145)."""
+
+    layers_hidden: Sequence[int]
+    grid_min: float = -2.0
+    grid_max: float = 2.0
+    num_grids: int = 8
+    use_base_update: bool = True
+    base_activation: Callable[[Array], Array] = jax.nn.silu
+    spline_weight_init_scale: float = 0.1
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array | None = None,
+                 train: bool = False) -> Array:
+        del mask, train  # shared update-net calling convention (see KAN)
+        for i, (fin, fout) in enumerate(
+            zip(self.layers_hidden[:-1], self.layers_hidden[1:])
+        ):
+            x = FastKANLayer(
+                fin, fout,
+                grid_min=self.grid_min,
+                grid_max=self.grid_max,
+                num_grids=self.num_grids,
+                use_base_update=self.use_base_update,
+                base_activation=self.base_activation,
+                spline_weight_init_scale=self.spline_weight_init_scale,
+                fused=self.fused,
+                name=f"layers_{i}",
+            )(x)
+        return x

@@ -1,0 +1,198 @@
+"""Graph convolution layers (flax.linen) over padded `GraphBatch`es.
+
+TPU-native re-implementations of the PyG conv semantics the reference relies
+on, with the feature transform factored out as a pluggable submodule — the
+idiomatic version of the reference's "grafting" trick of overwriting
+`conv.lin` with a KAN (reference node_classification_clean/models.py:31-92):
+
+  * `GCNConv`  — x' = D^-1/2 (A+I) D^-1/2 · t(x) + b, self-loops folded in
+                 analytically (no edge-list mutation). Matches PyG GCNConv
+                 with add_self_loops=True, normalize=True.
+  * `GATConv`  — per-edge attention, LeakyReLU(0.2), per-destination softmax,
+                 implicit self-loops, concat heads. Matches PyG GATConv
+                 defaults.
+  * `GINConv`  — t((1+eps)·x_i + sum_j x_j), eps fixed at 0 (PyG default
+                 train_eps=False).
+  * `GINEConv` — messages ReLU(x_j + e_ij) then GIN update. Matches PyG
+                 GINEConv.
+
+A `transform` factory (in_features, out_features) -> nn.Module selects MLP /
+Dense / KANLinear / FastKANLayer, giving the 4-conv x 3-architecture grid of
+SURVEY.md §2.2-2.3.
+
+Aggregations ride `kagnn_tpu.ops.segment` (sorted-by-receiver segment sums);
+self-loop terms are computed in closed form so no self-edges are ever
+materialized — fewer gathers, same math.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from kagnn_tpu.graphs.batch import GraphBatch
+from kagnn_tpu.kan.layers import FastKANLayer, KANLinear
+from kagnn_tpu.ops import segment
+
+Array = jax.Array
+TransformFactory = Callable[[int, int], nn.Module]
+
+
+def dense_transform(fin: int, fout: int, name: str | None = None) -> nn.Module:
+    """Bias-free Dense with Glorot init — PyG's internal `Linear` for conv
+    feature transforms."""
+    return nn.Dense(fout, use_bias=False,
+                    kernel_init=nn.initializers.glorot_uniform(), name=name)
+
+
+def kan_transform(grid_size: int = 4, spline_order: int = 3,
+                  fused: bool = False) -> TransformFactory:
+    """The reference's `KANLayer` adapter (grid_size default 4,
+    node_classification_clean/models.py:27-29)."""
+    def make(fin: int, fout: int) -> nn.Module:
+        return KANLinear(fin, fout, grid_size=grid_size,
+                         spline_order=spline_order, fused=fused)
+    return make
+
+
+def fastkan_transform(num_grids: int = 4, fused: bool = False) -> TransformFactory:
+    """The reference's `FKANLayer` adapter (models.py:58-66)."""
+    def make(fin: int, fout: int) -> nn.Module:
+        return FastKANLayer(fin, fout, num_grids=num_grids, fused=fused)
+    return make
+
+
+def _degree_with_self_loops(g: GraphBatch, dtype) -> Array:
+    """d_i = 1 + #incoming valid edges (weight-1 edges)."""
+    ones = g.edge_mask.astype(dtype)
+    deg = segment.segment_sum(ones, g.receivers, g.n_node_pad,
+                              indices_are_sorted=True)
+    return deg + 1.0
+
+
+class GCNConv(nn.Module):
+    """GCN layer; parity target: PyG GCNConv as used at reference
+    node_classification_clean/models.py:113 / 31-37 (KAN-grafted)."""
+
+    in_features: int
+    out_features: int
+    transform: Optional[TransformFactory] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, x: Array) -> Array:
+        make = self.transform or dense_transform
+        h = make(self.in_features, self.out_features)(x)
+        dtype = h.dtype
+
+        deg = _degree_with_self_loops(g, dtype)
+        dinv_sqrt = jax.lax.rsqrt(deg)
+        # per-edge norm: d_j^-1/2 * d_i^-1/2 (zero on padded edges)
+        norm = dinv_sqrt[g.senders] * dinv_sqrt[g.receivers]
+        norm = jnp.where(g.edge_mask, norm, 0.0)
+        msgs = segment.gather(h, g.senders) * norm[:, None]
+        out = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
+                                  indices_are_sorted=True)
+        # implicit self-loop: weight d_i^-1
+        out = out + h * (dinv_sqrt * dinv_sqrt)[:, None]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.out_features,))
+            out = out + bias
+        return out
+
+
+class GATConv(nn.Module):
+    """Multi-head graph attention; parity target: PyG GATConv defaults
+    (LeakyReLU slope 0.2, implicit self-loops, concat heads, bias) as grafted
+    at reference node_classification_clean/models.py:39-46."""
+
+    in_features: int
+    out_features: int  # per-head
+    heads: int = 1
+    negative_slope: float = 0.2
+    transform: Optional[TransformFactory] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, x: Array) -> Array:
+        H, C = self.heads, self.out_features
+        make = self.transform or dense_transform
+        h = make(self.in_features, H * C)(x).reshape(-1, H, C)
+
+        att_src = self.param("att_src", nn.initializers.glorot_uniform(),
+                             (1, H, C))
+        att_dst = self.param("att_dst", nn.initializers.glorot_uniform(),
+                             (1, H, C))
+        alpha_src = (h * att_src).sum(-1)  # (N, H)
+        alpha_dst = (h * att_dst).sum(-1)
+
+        logits = alpha_src[g.senders] + alpha_dst[g.receivers]  # (E, H)
+        logits = nn.leaky_relu(logits, self.negative_slope)
+        self_logits = nn.leaky_relu(alpha_src + alpha_dst, self.negative_slope)
+        w_edge, w_self = segment.segment_softmax(
+            logits, g.receivers, g.n_node_pad, mask=g.edge_mask,
+            indices_are_sorted=True, extra_logits=self_logits)
+
+        msgs = segment.gather(h, g.senders) * w_edge[..., None]
+        out = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
+                                  indices_are_sorted=True)
+        out = out + h * w_self[..., None]
+        out = out.reshape(-1, H * C)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (H * C,))
+            out = out + bias
+        return out
+
+
+class GINConv(nn.Module):
+    """GIN layer: update((1+eps)·x_i + sum_{j in N(i)} x_j); eps=0 untrained
+    (PyG default), as used at reference models.py:48-56 with a KAN update
+    net."""
+
+    update: nn.Module  # the epsilon-update network (MLP / KAN / FastKAN)
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, x: Array, train: bool = False) -> Array:
+        msgs = segment.gather(x, g.senders)
+        msgs = jnp.where(g.edge_mask[:, None], msgs, 0.0)
+        agg = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
+                                  indices_are_sorted=True)
+        return self.update((1.0 + self.eps) * x + agg,
+                           mask=g.node_mask, train=train)
+
+
+class GINEConv(nn.Module):
+    """GINE layer with edge features: messages ReLU(x_j + e_ij); parity
+    target: PyG GINEConv as used at reference graph_regression/models.py:96-99."""
+
+    update: nn.Module
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: GraphBatch, x: Array, edge_attr: Array,
+                 train: bool = False) -> Array:
+        msgs = nn.relu(segment.gather(x, g.senders) + edge_attr)
+        msgs = jnp.where(g.edge_mask[:, None], msgs, 0.0)
+        agg = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
+                                  indices_are_sorted=True)
+        return self.update((1.0 + self.eps) * x + agg,
+                           mask=g.node_mask, train=train)
+
+
+def global_add_pool(g: GraphBatch, x: Array) -> Array:
+    """Sum-pool node features per graph (reference
+    graph_classification/models.py:43). Returns (n_graph_pad, F)."""
+    x = jnp.where(g.node_mask[:, None], x, 0.0)
+    return segment.segment_sum(x, g.node_graph, g.n_graph_pad,
+                               indices_are_sorted=True)
+
+
+def global_mean_pool(g: GraphBatch, x: Array) -> Array:
+    """Mean-pool node features per graph (reference models.py:65)."""
+    return segment.segment_mean(x, g.node_graph, g.n_graph_pad,
+                                indices_are_sorted=True, mask=g.node_mask)

@@ -1,0 +1,64 @@
+"""Mask-aware normalization layers.
+
+The reference uses `torch.nn.BatchNorm1d` over node features everywhere
+(e.g. node_classification_clean/models.py:127,184,238 and
+graph_classification/models.py:106). Under static-shape padded batching the
+padded rows must not skew batch statistics, so this BatchNorm computes its
+statistics over masked rows only — semantics identical to torch BatchNorm1d
+(momentum 0.1, eps 1e-5, biased batch variance for normalization, unbiased
+for the running-stat update) restricted to valid rows.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class MaskedBatchNorm(nn.Module):
+    num_features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    use_running_average: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        mask: Optional[Array] = None,
+        use_running_average: Optional[bool] = None,
+    ) -> Array:
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average, use_running_average)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.num_features))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.num_features))
+        scale = self.param("scale", nn.initializers.ones, (self.num_features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                n = jnp.asarray(x.shape[0], x.dtype)
+                mean = x.mean(axis=0)
+                var = ((x - mean) ** 2).mean(axis=0)
+            else:
+                m = mask.astype(x.dtype)[:, None]
+                n = jnp.maximum(m.sum(), 1.0)
+                mean = (x * m).sum(axis=0) / n
+                var = (((x - mean) ** 2) * m).sum(axis=0) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        if mask is not None:
+            y = jnp.where(mask[:, None], y, 0.0)
+        return y

@@ -1,0 +1,112 @@
+"""Segment (gather-scatter) primitives — the TPU-native replacement for the
+torch_scatter/PyG C++/CUDA aggregation kernels used by the reference
+(`MessagePassing.propagate` scatter-add; see reference
+node_classification_clean/models.py:140 call path, SURVEY.md §2.4 N1).
+
+All ops take *padded, statically-shaped* index vectors. Padded entries must be
+masked by the caller (or carry zero data); `num_segments` is always static so
+XLA can compile a single scatter/sort kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def segment_sum(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> Array:
+    """Sum `data` rows into `num_segments` buckets given by `segment_ids`."""
+    return jax.ops.segment_sum(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_mean(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+    mask: Array | None = None,
+) -> Array:
+    """Mean per segment. `mask` (bool, per row) excludes padded rows from both
+    numerator and denominator."""
+    if mask is not None:
+        data = jnp.where(mask.reshape(mask.shape + (1,) * (data.ndim - 1)), data, 0)
+        ones = mask.astype(data.dtype)
+    else:
+        ones = jnp.ones(data.shape[0], dtype=data.dtype)
+    total = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
+    count = segment_sum(ones, segment_ids, num_segments, indices_are_sorted)
+    return total / jnp.maximum(count, 1.0).reshape(count.shape + (1,) * (data.ndim - 1))
+
+
+def segment_max(
+    data: Array,
+    segment_ids: Array,
+    num_segments: int,
+    indices_are_sorted: bool = False,
+) -> Array:
+    return jax.ops.segment_max(
+        data,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+
+
+def segment_softmax(
+    logits: Array,
+    segment_ids: Array,
+    num_segments: int,
+    mask: Array | None = None,
+    indices_are_sorted: bool = False,
+    extra_logits: Array | None = None,
+) -> tuple[Array, Array]:
+    """Numerically-stable per-segment softmax (the edge-softmax of GAT;
+    replaces PyG's `softmax` CUDA kernel, SURVEY.md §2.4 N3).
+
+    Args:
+      logits: (E, ...) per-edge logits.
+      segment_ids: (E,) destination-node ids.
+      mask: (E,) validity of each edge; invalid edges get weight 0.
+      extra_logits: optional (num_segments, ...) additional per-segment logit
+        participating in the softmax (used for implicit self-loop edges).
+
+    Returns:
+      (edge_weights, extra_weights) — softmax weights for the edges and for the
+      extra per-segment logits (zeros-shaped like extra_logits if None given).
+    """
+    neg = jnp.asarray(-1e30, dtype=logits.dtype)
+    masked_logits = logits if mask is None else jnp.where(
+        mask.reshape(mask.shape + (1,) * (logits.ndim - 1)), logits, neg)
+    seg_max = segment_max(masked_logits, segment_ids, num_segments, indices_are_sorted)
+    seg_max = jnp.maximum(seg_max, neg)  # segments with no edges -> -1e30 not -inf
+    if extra_logits is not None:
+        seg_max = jnp.maximum(seg_max, extra_logits)
+    edge_exp = jnp.exp(masked_logits - seg_max[segment_ids])
+    if mask is not None:
+        edge_exp = jnp.where(
+            mask.reshape(mask.shape + (1,) * (logits.ndim - 1)), edge_exp, 0)
+    denom = segment_sum(edge_exp, segment_ids, num_segments, indices_are_sorted)
+    if extra_logits is not None:
+        extra_exp = jnp.exp(extra_logits - seg_max)
+        denom = denom + extra_exp
+        denom = jnp.maximum(denom, 1e-16)
+        return edge_exp / denom[segment_ids], extra_exp / denom
+    denom = jnp.maximum(denom, 1e-16)
+    return edge_exp / denom[segment_ids], jnp.zeros_like(seg_max)
+
+
+def gather(x: Array, indices: Array) -> Array:
+    """Row gather `x[indices]` — kept as a named op so the Pallas/sharded
+    backends can swap in fused implementations."""
+    return jnp.take(x, indices, axis=0)
