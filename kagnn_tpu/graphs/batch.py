@@ -119,6 +119,12 @@ def single_graph(
         edges = np.asarray(edges)
         edges = np.concatenate(
             [edges, np.zeros((pad_e,) + edges.shape[1:], edges.dtype)])
+    if y is not None:
+        y = np.asarray(y)
+        if y.ndim >= 1 and y.shape[0] == n_node:
+            # node-level targets: pad alongside the nodes
+            y = np.concatenate(
+                [y, np.zeros((n_pad - n_node,) + y.shape[1:], y.dtype)])
 
     return GraphBatch(
         senders=jnp.asarray(senders),

@@ -1,0 +1,1 @@
+from kagnn_tpu.utils import port
