@@ -1,0 +1,183 @@
+"""Fused RBF-basis + spline-GEMM Pallas kernel (FastKAN hot path).
+
+The XLA path materializes the RBF basis tensor (N, D, G) in HBM
+(reference fastkan.py:47 does the same on GPU), which is G x the size of the
+activations — the layer is HBM-bandwidth-bound. This kernel recomputes the
+basis per row-tile in VMEM and feeds the MXU directly, so the basis never
+touches HBM; the backward pass rematerializes it the same way
+(SURVEY.md §2.4 N7 — the north-star fusion).
+
+Layout: the spline weight is pre-reshaped to (G, D, O) so the contraction is
+G successive (T, D) x (D, O) MXU matmuls — no 3D reshapes inside the kernel.
+
+out[n, o] = sum_g exp(-((x[n, d] - c_g) / h)^2) @ W[g, d, o]
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_TILE_N = 256
+
+
+def _centers(grid_min: float, grid_max: float, num_grids: int) -> np.ndarray:
+    return np.linspace(grid_min, grid_max, num_grids).astype(np.float32)
+
+
+def _fwd_kernel(x_ref, w_ref, out_ref, *, centers, inv_h):
+    x = x_ref[...]  # (T, D)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for g, c in enumerate(centers):
+        d = (x - c) * inv_h
+        basis = jnp.exp(-(d * d))
+        acc += jnp.dot(basis, w_ref[g], preferred_element_type=jnp.float32)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, centers, inv_h):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[...]  # (T, D)
+    dout = g_ref[...]  # (T, O)
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for g, c in enumerate(centers):
+        d = (x - c) * inv_h
+        basis = jnp.exp(-(d * d))
+        # dW[g] = basis^T @ dout    (accumulated across row tiles)
+        dw_ref[g] += jax.lax.dot_general(
+            basis, dout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dw_ref.dtype)
+        # dbasis = dout @ W[g]^T ; dbasis/dx = basis * (-2 d * inv_h)
+        dbasis = jax.lax.dot_general(
+            dout, w_ref[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx += dbasis * basis * (-2.0 * d * inv_h)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _pad_rows(x: Array, tile: int) -> tuple[Array, int]:
+    n = x.shape[0]
+    pad = (-n) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def rbf_spline_matmul(x: Array, w_gdo: Array, grid_min: float,
+                      grid_max: float, num_grids: int, denominator: float,
+                      interpret: bool = False) -> Array:
+    """x (N, D), w_gdo (G, D, O) -> (N, O). Fused basis+GEMM."""
+    return _rbf_fwd_impl(x, w_gdo, grid_min, grid_max, num_grids,
+                         denominator, interpret)
+
+
+def _rbf_fwd_impl(x, w_gdo, grid_min, grid_max, num_grids, denominator,
+                  interpret):
+    centers = _centers(grid_min, grid_max, num_grids)
+    inv_h = float(1.0 / denominator)
+    G, D, O = w_gdo.shape
+    xp, n = _pad_rows(x, DEFAULT_TILE_N)
+    np_rows = xp.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, centers=centers, inv_h=inv_h),
+        grid=(np_rows // DEFAULT_TILE_N,),
+        in_specs=[
+            pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, D, O), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_rows, O), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * np_rows * D * O * G + 4 * np_rows * D * G,
+            bytes_accessed=4 * (np_rows * D + G * D * O + np_rows * O),
+            transcendentals=np_rows * D * G),
+        interpret=interpret,
+    )(xp, w_gdo)
+    return out[:n]
+
+
+def _rbf_vjp_fwd(x, w_gdo, grid_min, grid_max, num_grids, denominator,
+                 interpret):
+    out = _rbf_fwd_impl(x, w_gdo, grid_min, grid_max, num_grids, denominator,
+                        interpret)
+    return out, (x, w_gdo)
+
+
+def _rbf_vjp_bwd(grid_min, grid_max, num_grids, denominator, interpret,
+                 res, dout):
+    x, w_gdo = res
+    centers = _centers(grid_min, grid_max, num_grids)
+    inv_h = float(1.0 / denominator)
+    G, D, O = w_gdo.shape
+    xp, n = _pad_rows(x, DEFAULT_TILE_N)
+    gp, _ = _pad_rows(dout, DEFAULT_TILE_N)
+    np_rows = xp.shape[0]
+    dx, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel, centers=centers, inv_h=inv_h),
+        grid=(np_rows // DEFAULT_TILE_N,),
+        in_specs=[
+            pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, D, O), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, D, O), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_rows, D), x.dtype),
+            jax.ShapeDtypeStruct((G, D, O), w_gdo.dtype),
+        ),
+        interpret=interpret,
+    )(xp, w_gdo, gp)
+    return dx[:n], dw
+
+
+rbf_spline_matmul.defvjp(_rbf_vjp_fwd, _rbf_vjp_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def fastkan_fused(xs: Array, spline_weight: Array, grid_min: float,
+                  grid_max: float, num_grids: int, denominator: float,
+                  interpret: Optional[bool] = None) -> Array:
+    """Drop-in fused replacement for
+    `rbf_basis(xs).reshape(N, -1) @ spline_weight.T`.
+
+    spline_weight is the layer's (O, D*G) parameter with columns ordered
+    (d0g0..d0g{G-1}, d1g0..) — reshaped here to the kernel's (G, D, O).
+    """
+    O = spline_weight.shape[0]
+    D = xs.shape[-1]
+    G = num_grids
+    w_gdo = jnp.transpose(spline_weight.reshape(O, D, G), (2, 1, 0))
+    if interpret is None:
+        interpret = not _on_tpu()
+    return rbf_spline_matmul(xs, w_gdo, float(grid_min), float(grid_max),
+                             int(G), float(denominator), bool(interpret))
