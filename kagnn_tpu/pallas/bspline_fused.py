@@ -2,14 +2,18 @@
 path).
 
 The XLA path materializes the Cox-de Boor basis tensor (N, D, G+k) in HBM
-(reference ekan.py:96-105 does the same on GPU). This kernel evaluates each
-basis function per row-tile in VMEM with the recursion unrolled (spline_order
-is static and small) and feeds the MXU directly; the backward rematerializes
-bases and uses the analytic derivative
+(reference ekan.py:96-105 does the same on GPU). This kernel evaluates the
+full basis ladder per row-tile in VMEM — ONE shared recursion producing all
+G+k basis functions as a list of 2D (T, D) tiles (a 3D VMEM tensor would pad
+the small basis axis to 128 lanes; a per-basis recomputation keeps ~7x
+redundant temporaries live and overflows the 16MB VMEM) — and feeds the MXU
+directly. The backward rematerializes the ladder and uses the analytic
+derivative
     dB_g^k/dx = k * (B_g^{k-1}/(t_{g+k}-t_g) - B_{g+1}^{k-1}/(t_{g+k+1}-t_{g+1})).
 
 Per-feature (possibly non-uniform, update_grid-adapted) knot vectors are
-supported: knots enter as a (D, K) array and broadcast over the row axis.
+supported: knots enter as a (K, D) array (transposed so each knot is a
+row slice, lane-contiguous over features) and broadcast over the row axis.
 
 The kernel also folds in the base path (SiLU(x) @ Wb^T), so one launch
 computes the complete KANLinear forward.
@@ -26,47 +30,49 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_TILE_N = 256
+DEFAULT_TILE_N = 128
 
 
-def _basis_with_penultimate(x, t, gidx: int, k: int):
-    """Compute (B_gidx^k, B_gidx^{k-1}, B_{gidx+1}^{k-1}) for tile x (T, D).
+def _basis_ladder(x, t, k: int, n_knots: int, keep_penultimate: bool):
+    """Shared Cox-de Boor recursion on a (T, D) tile.
 
-    t(j) returns knot row j broadcast as (1, D). Mirrors the reference
-    recursion (ekan.py:96-105) specialized to one basis index.
+    Returns (final_bases, penultimate_bases): lists of (T, D) arrays of the
+    n_knots-1-k order-k bases and (if requested) the order-(k-1) bases.
+    Mirrors the reference recursion (ekan.py:96-105) with the basis axis
+    unrolled into 2D tiles.
     """
     b = [((x >= t(j)) & (x < t(j + 1))).astype(x.dtype)
-         for j in range(gidx, gidx + k + 1)]
-    pen = (None, None)
+         for j in range(n_knots - 1)]
+    pen = None
     for kk in range(1, k + 1):
-        if kk == k and k >= 1:
-            pen = (b[0], b[1] if len(b) > 1 else None)
-        nb = []
-        for idx, j in enumerate(range(gidx, gidx + k + 1 - kk)):
-            left = (x - t(j)) / (t(j + kk) - t(j)) * b[idx]
-            right = (t(j + kk + 1) - x) / (t(j + kk + 1) - t(j + 1)) * b[idx + 1]
-            nb.append(left + right)
-        b = nb
-    return b[0], pen[0], pen[1]
+        if kk == k:
+            pen = b
+        b = [
+            (x - t(j)) / (t(j + kk) - t(j)) * b[idx]
+            + (t(j + kk + 1) - x) / (t(j + kk + 1) - t(j + 1)) * b[idx + 1]
+            for idx, j in enumerate(range(len(b) - 1))
+        ]
+    return b, (pen if keep_penultimate else None)
 
 
 def _fwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, out_ref, *, k: int,
-                n_basis: int):
+                n_basis: int, n_knots: int):
     x = x_ref[...]  # (T, D)
 
     def t(j):
-        return grid_ref[:, j][None, :]  # (1, D)
+        return grid_ref[j, :][None, :]  # (1, D)
 
     sx = x * jax.nn.sigmoid(x)  # SiLU
     acc = jnp.dot(sx, wb_ref[...], preferred_element_type=jnp.float32)
+    bases, _ = _basis_ladder(x, t, k, n_knots, keep_penultimate=False)
     for g in range(n_basis):
-        bg, _, _ = _basis_with_penultimate(x, t, g, k)
-        acc += jnp.dot(bg, ws_ref[g], preferred_element_type=jnp.float32)
+        acc += jnp.dot(bases[g], ws_ref[g],
+                       preferred_element_type=jnp.float32)
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, g_ref, dx_ref, dwb_ref,
-                dws_ref, *, k: int, n_basis: int):
+                dws_ref, *, k: int, n_basis: int, n_knots: int):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -78,11 +84,10 @@ def _bwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, g_ref, dx_ref, dwb_ref,
     dout = g_ref[...]  # (T, O)
 
     def t(j):
-        return grid_ref[:, j][None, :]
+        return grid_ref[j, :][None, :]
 
     sig = jax.nn.sigmoid(x)
     sx = x * sig
-    # base path
     dwb_ref[...] += jax.lax.dot_general(
         sx, dout, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dwb_ref.dtype)
@@ -90,17 +95,18 @@ def _bwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, g_ref, dx_ref, dwb_ref,
         dout, wb_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     dx = dsx * (sig * (1.0 + x * (1.0 - sig)))  # d silu / dx
+
+    bases, pen = _basis_ladder(x, t, k, n_knots, keep_penultimate=True)
     for g in range(n_basis):
-        bg, p0, p1 = _basis_with_penultimate(x, t, g, k)
         dws_ref[g] += jax.lax.dot_general(
-            bg, dout, (((0,), (0,)), ((), ())),
+            bases[g], dout, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dws_ref.dtype)
         dbg = jax.lax.dot_general(
             dout, ws_ref[g], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if k >= 1:
-            left = p0 / (t(g + k) - t(g))
-            right = p1 / (t(g + k + 1) - t(g + 1))
+            left = pen[g] / (t(g + k) - t(g))
+            right = pen[g + 1] / (t(g + k + 1) - t(g + 1))
             dx += dbg * (k * (left - right))
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
@@ -114,27 +120,25 @@ def _pad_rows(x: Array, tile: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def bspline_kan_matmul(x: Array, grid: Array, wb_do: Array, ws_gdo: Array,
+def bspline_kan_matmul(x: Array, grid_kd: Array, wb_do: Array, ws_gdo: Array,
                        spline_order: int, interpret: bool = False) -> Array:
-    """x (N, D), grid (D, K), wb_do (D, O), ws_gdo (n_basis, D, O) -> (N, O).
-
-    Full fused KANLinear forward: SiLU-base GEMM + per-basis spline GEMMs.
-    """
-    return _fwd_impl(x, grid, wb_do, ws_gdo, spline_order, interpret)
+    """x (N, D), grid_kd (K, D), wb_do (D, O), ws_gdo (n_basis, D, O)
+    -> (N, O). Full fused KANLinear forward."""
+    return _fwd_impl(x, grid_kd, wb_do, ws_gdo, spline_order, interpret)
 
 
-def _fwd_impl(x, grid, wb_do, ws_gdo, k, interpret):
+def _fwd_impl(x, grid_kd, wb_do, ws_gdo, k, interpret):
     n_basis, D, O = ws_gdo.shape
+    K = grid_kd.shape[0]
     xp, n = _pad_rows(x, DEFAULT_TILE_N)
     rows = xp.shape[0]
-    K = grid.shape[1]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, n_basis=n_basis),
+        functools.partial(_fwd_kernel, k=k, n_basis=n_basis, n_knots=K),
         grid=(rows // DEFAULT_TILE_N,),
         in_specs=[
             pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_basis, D, O), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -144,33 +148,33 @@ def _fwd_impl(x, grid, wb_do, ws_gdo, k, interpret):
         out_shape=jax.ShapeDtypeStruct((rows, O), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * D * O * (n_basis + 1)
-            + rows * D * n_basis * (3 * k * k + 8),
+            + rows * D * (K * k * 6 + K),
             bytes_accessed=4 * (rows * (D + O) + (n_basis + 1) * D * O),
             transcendentals=rows * D),
         interpret=interpret,
-    )(xp, grid, wb_do, ws_gdo)
+    )(xp, grid_kd, wb_do, ws_gdo)
     return out[:n]
 
 
-def _vjp_fwd(x, grid, wb_do, ws_gdo, k, interpret):
-    return _fwd_impl(x, grid, wb_do, ws_gdo, k, interpret), (
-        x, grid, wb_do, ws_gdo)
+def _vjp_fwd(x, grid_kd, wb_do, ws_gdo, k, interpret):
+    return _fwd_impl(x, grid_kd, wb_do, ws_gdo, k, interpret), (
+        x, grid_kd, wb_do, ws_gdo)
 
 
 def _vjp_bwd(k, interpret, res, dout):
-    x, grid, wb_do, ws_gdo = res
+    x, grid_kd, wb_do, ws_gdo = res
     n_basis, D, O = ws_gdo.shape
-    K = grid.shape[1]
+    K = grid_kd.shape[0]
     xp, n = _pad_rows(x, DEFAULT_TILE_N)
     gp, _ = _pad_rows(dout, DEFAULT_TILE_N)
     rows = xp.shape[0]
     dx, dwb, dws = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, n_basis=n_basis),
+        functools.partial(_bwd_kernel, k=k, n_basis=n_basis, n_knots=K),
         grid=(rows // DEFAULT_TILE_N,),
         in_specs=[
             pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_basis, D, O), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -190,7 +194,7 @@ def _vjp_bwd(k, interpret, res, dout):
             jax.ShapeDtypeStruct((n_basis, D, O), ws_gdo.dtype),
         ),
         interpret=interpret,
-    )(xp, grid, wb_do, ws_gdo, gp)
+    )(xp, grid_kd, wb_do, ws_gdo, gp)
     return dx[:n], None, dwb, dws
 
 
@@ -209,11 +213,12 @@ def kan_linear_fused(x: Array, grid: Array, base_weight: Array,
                      interpret: Optional[bool] = None) -> Array:
     """Drop-in fused KANLinear forward.
 
-    base_weight (O, D); scaled_spline_weight (O, D, n_basis); grid (D, K).
+    base_weight (O, D); scaled_spline_weight (O, D, n_basis);
+    grid (D, K) — the module's torch-layout knot buffer.
     """
     wb_do = base_weight.T  # (D, O)
     ws_gdo = jnp.transpose(scaled_spline_weight, (2, 1, 0))  # (n_basis, D, O)
     if interpret is None:
         interpret = not _on_tpu()
-    return bspline_kan_matmul(x, grid, wb_do, ws_gdo, int(spline_order),
+    return bspline_kan_matmul(x, grid.T, wb_do, ws_gdo, int(spline_order),
                               bool(interpret))

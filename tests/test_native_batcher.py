@@ -1,0 +1,78 @@
+"""Native (C++) batch assembler vs the numpy batcher — identical batches,
+and a throughput sanity check."""
+import time
+
+import numpy as np
+import pytest
+
+from kagnn_tpu.data.native import NativeBatchAssembler, native_available
+from kagnn_tpu.data.synthetic import random_molecule_graphs
+from kagnn_tpu.graphs import batch_graphs, pad_spec_for
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="no native toolchain")
+
+
+def _graphs(rng, n=30):
+    graphs = random_molecule_graphs(n_graphs=n, seed=11)
+    for g in graphs:
+        onehot = np.zeros((g["n_node"], 21), np.float32)
+        onehot[np.arange(g["n_node"]), g["nodes"][:, 0]] = 1.0
+        g["nodes"] = onehot
+        del g["edges"]
+    return graphs
+
+
+def test_matches_numpy_batcher(rng):
+    graphs = _graphs(rng)
+    spec = pad_spec_for(graphs, 8)
+    asm = NativeBatchAssembler(graphs, spec)
+    for lo in (0, 8, 16):
+        idx = list(range(lo, lo + 8))
+        a = asm.assemble(idx)
+        b = batch_graphs([graphs[i] for i in idx], spec)
+        np.testing.assert_array_equal(np.asarray(a.receivers),
+                                      np.asarray(b.receivers))
+        # sender order within equal receivers may differ between sorts;
+        # compare as multisets of (sender, receiver) pairs
+        pa = sorted(zip(np.asarray(a.senders).tolist(),
+                        np.asarray(a.receivers).tolist()))
+        pb = sorted(zip(np.asarray(b.senders).tolist(),
+                        np.asarray(b.receivers).tolist()))
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a.node_mask),
+                                      np.asarray(b.node_mask))
+        np.testing.assert_array_equal(np.asarray(a.node_graph),
+                                      np.asarray(b.node_graph))
+        np.testing.assert_allclose(np.asarray(a.nodes), np.asarray(b.nodes))
+        np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y))
+        assert int(a.n_node) == int(b.n_node)
+        assert int(a.n_edge) == int(b.n_edge)
+
+
+def test_oversize_batch_rejected(rng):
+    graphs = _graphs(rng, n=20)
+    spec = pad_spec_for(graphs, 4)
+    asm = NativeBatchAssembler(graphs, spec)
+    with pytest.raises(ValueError):
+        asm.assemble(list(range(20)))
+
+
+def test_native_faster_than_numpy(rng):
+    graphs = _graphs(rng, n=64)
+    spec = pad_spec_for(graphs, 16)
+    asm = NativeBatchAssembler(graphs, spec)
+    idx = list(range(16))
+    # warmup both
+    asm.assemble(idx)
+    batch_graphs([graphs[i] for i in idx], spec)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        asm.assemble(idx)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(20):
+        batch_graphs([graphs[i] for i in idx], spec)
+    t_numpy = time.perf_counter() - t0
+    # host-side assembly should be clearly faster natively
+    assert t_native < t_numpy, (t_native, t_numpy)
