@@ -246,6 +246,44 @@ class FastKANLayer(nn.Module):
         return ret.reshape(*orig_shape[:-1], self.output_dim)
 
 
+class AttentionWithFastKANTransform(nn.Module):
+    """Multi-head attention with FastKAN q/k/v/o/gating projections.
+
+    Parity target: reference fastkan.py:148-202 (defined there but unused by
+    any model — included for API-surface completeness). Bias is an additive
+    attention bias; gating multiplies the pre-output by sigmoid(g(q)).
+    """
+
+    q_dim: int
+    k_dim: int
+    v_dim: int
+    head_dim: int
+    num_heads: int
+    gating: bool = True
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array,
+                 bias: Array | None = None) -> Array:
+        H, C = self.num_heads, self.head_dim
+        total = H * C
+        norm = C ** -0.5
+        wq = FastKANLayer(self.q_dim, total, name="linear_q")(q)
+        wk = FastKANLayer(self.k_dim, total, name="linear_k")(k)
+        wv = FastKANLayer(self.v_dim, total, name="linear_v")(v)
+        wq = wq.reshape(*q.shape[:-1], 1, H, C) * norm      # *q1hc
+        wk = wk.reshape(*k.shape[:-2], 1, k.shape[-2], H, C)  # *1khc
+        att = jax.nn.softmax((wq * wk).sum(-1), axis=-2)      # *qkh
+        if bias is not None:
+            att = att + bias[..., None]
+        wv = wv.reshape(*v.shape[:-2], 1, v.shape[-2], H, C)  # *1khc
+        o = (att[..., None] * wv).sum(-3)                     # *qhc
+        o = o.reshape(*o.shape[:-2], total)
+        if self.gating:
+            g = FastKANLayer(self.q_dim, total, name="linear_g")(q)
+            o = jax.nn.sigmoid(g) * o
+        return FastKANLayer(total, self.q_dim, name="linear_o")(o)
+
+
 class FastKAN(nn.Module):
     """Stack of FastKANLayer (reference fastkan.py:118-145)."""
 

@@ -186,13 +186,19 @@ class GINEConv(nn.Module):
 
 def global_add_pool(g: GraphBatch, x: Array) -> Array:
     """Sum-pool node features per graph (reference
-    graph_classification/models.py:43). Returns (n_graph_pad, F)."""
+    graph_classification/models.py:43). Returns (n_graph_pad, F).
+
+    Node->graph reduction: nodes are replicated under edge partitioning, so
+    the edge-collective mode is suspended here."""
     x = jnp.where(g.node_mask[:, None], x, 0.0)
-    return segment.segment_sum(x, g.node_graph, g.n_graph_pad,
-                               indices_are_sorted=True)
+    with segment.edge_axis(None):
+        return segment.segment_sum(x, g.node_graph, g.n_graph_pad,
+                                   indices_are_sorted=True)
 
 
 def global_mean_pool(g: GraphBatch, x: Array) -> Array:
     """Mean-pool node features per graph (reference models.py:65)."""
-    return segment.segment_mean(x, g.node_graph, g.n_graph_pad,
-                                indices_are_sorted=True, mask=g.node_mask)
+    with segment.edge_axis(None):
+        return segment.segment_mean(x, g.node_graph, g.n_graph_pad,
+                                    indices_are_sorted=True,
+                                    mask=g.node_mask)

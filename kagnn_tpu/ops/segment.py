@@ -9,10 +9,38 @@ XLA can compile a single scatter/sort kernel.
 """
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# --- edge-partition collective mode -----------------------------------------
+# When the graph's edge arrays are sharded across a mesh axis (each device
+# holds an edge shard but a full node-feature replica — the halo-exchange
+# edge partition of SURVEY.md §2.4 N9), every edge->node reduction computes a
+# PARTIAL result that must be all-reduced. Entering `edge_axis("axis")` makes
+# every segment reduction in this module finish with the matching collective
+# (psum / pmax), so the whole conv stack becomes edge-partition-aware inside
+# `shard_map` with no changes elsewhere.
+
+_STATE = threading.local()
+
+
+@contextlib.contextmanager
+def edge_axis(axis_name: str | None):
+    prev = getattr(_STATE, "axis", None)
+    _STATE.axis = axis_name
+    try:
+        yield
+    finally:
+        _STATE.axis = prev
+
+
+def _current_axis() -> str | None:
+    return getattr(_STATE, "axis", None)
 
 
 def segment_sum(
@@ -22,12 +50,16 @@ def segment_sum(
     indices_are_sorted: bool = False,
 ) -> Array:
     """Sum `data` rows into `num_segments` buckets given by `segment_ids`."""
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         data,
         segment_ids,
         num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    ax = _current_axis()
+    if ax is not None:
+        out = jax.lax.psum(out, ax)
+    return out
 
 
 def segment_mean(
@@ -55,12 +87,16 @@ def segment_max(
     num_segments: int,
     indices_are_sorted: bool = False,
 ) -> Array:
-    return jax.ops.segment_max(
+    out = jax.ops.segment_max(
         data,
         segment_ids,
         num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    ax = _current_axis()
+    if ax is not None:
+        out = jax.lax.pmax(out, ax)
+    return out
 
 
 def segment_softmax(
@@ -88,7 +124,12 @@ def segment_softmax(
     neg = jnp.asarray(-1e30, dtype=logits.dtype)
     masked_logits = logits if mask is None else jnp.where(
         mask.reshape(mask.shape + (1,) * (logits.ndim - 1)), logits, neg)
-    seg_max = segment_max(masked_logits, segment_ids, num_segments, indices_are_sorted)
+    # the max is only a numerical-stability shift (softmax is shift-
+    # invariant), so it carries no gradient — stop_gradient on the INPUT so
+    # the whole max/pmax subgraph stays out of the AD trace (pmax has no AD
+    # rule, which would break the edge-partitioned path)
+    seg_max = segment_max(jax.lax.stop_gradient(masked_logits), segment_ids,
+                          num_segments, indices_are_sorted)
     seg_max = jnp.maximum(seg_max, neg)  # segments with no edges -> -1e30 not -inf
     if extra_logits is not None:
         seg_max = jnp.maximum(seg_max, extra_logits)

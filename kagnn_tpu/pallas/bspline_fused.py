@@ -65,9 +65,10 @@ def _fwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, out_ref, *, k: int,
     sx = x * jax.nn.sigmoid(x)  # SiLU
     acc = jnp.dot(sx, wb_ref[...], preferred_element_type=jnp.float32)
     bases, _ = _basis_ladder(x, t, k, n_knots, keep_penultimate=False)
-    for g in range(n_basis):
-        acc += jnp.dot(bases[g], ws_ref[g],
-                       preferred_element_type=jnp.float32)
+    # one big (T, n_basis*D) x (n_basis*D, O) MXU matmul — a per-basis loop
+    # of K=D matmuls underuses the MXU contraction dimension
+    basis = jnp.concatenate(bases[:n_basis], axis=1)
+    acc += jnp.dot(basis, ws_ref[...], preferred_element_type=jnp.float32)
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
@@ -97,17 +98,19 @@ def _bwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, g_ref, dx_ref, dwb_ref,
     dx = dsx * (sig * (1.0 + x * (1.0 - sig)))  # d silu / dx
 
     bases, pen = _basis_ladder(x, t, k, n_knots, keep_penultimate=True)
-    for g in range(n_basis):
-        dws_ref[g] += jax.lax.dot_general(
-            bases[g], dout, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dws_ref.dtype)
-        dbg = jax.lax.dot_general(
-            dout, ws_ref[g], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if k >= 1:
+    D = x.shape[1]
+    basis = jnp.concatenate(bases[:n_basis], axis=1)  # (T, n_basis*D)
+    dws_ref[...] += jax.lax.dot_general(
+        basis, dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dws_ref.dtype)
+    dbasis = jax.lax.dot_general(
+        dout, ws_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (T, n_basis*D)
+    if k >= 1:
+        for g in range(n_basis):
             left = pen[g] / (t(g + k) - t(g))
             right = pen[g + 1] / (t(g + k + 1) - t(g + 1))
-            dx += dbg * (k * (left - right))
+            dx += dbasis[:, g * D:(g + 1) * D] * (k * (left - right))
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
@@ -140,7 +143,7 @@ def _fwd_impl(x, grid_kd, wb_do, ws_gdo, k, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_basis, D, O), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_basis * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
@@ -152,7 +155,7 @@ def _fwd_impl(x, grid_kd, wb_do, ws_gdo, k, interpret):
             bytes_accessed=4 * (rows * (D + O) + (n_basis + 1) * D * O),
             transcendentals=rows * D),
         interpret=interpret,
-    )(xp, grid_kd, wb_do, ws_gdo)
+    )(xp, grid_kd, wb_do, ws_gdo.reshape(n_basis * D, O))
     return out[:n]
 
 
@@ -176,7 +179,7 @@ def _vjp_bwd(k, interpret, res, dout):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_basis, D, O), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_basis * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -185,17 +188,17 @@ def _vjp_bwd(k, interpret, res, dout):
             pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_basis, D, O), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_basis * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((rows, D), x.dtype),
             jax.ShapeDtypeStruct((D, O), wb_do.dtype),
-            jax.ShapeDtypeStruct((n_basis, D, O), ws_gdo.dtype),
+            jax.ShapeDtypeStruct((n_basis * D, O), ws_gdo.dtype),
         ),
         interpret=interpret,
-    )(xp, grid_kd, wb_do, ws_gdo, gp)
-    return dx[:n], None, dwb, dws
+    )(xp, grid_kd, wb_do, ws_gdo.reshape(n_basis * D, O), gp)
+    return dx[:n], None, dwb, dws.reshape(n_basis, D, O)
 
 
 bspline_kan_matmul.defvjp(_vjp_fwd, _vjp_bwd)

@@ -33,13 +33,18 @@ def _centers(grid_min: float, grid_max: float, num_grids: int) -> np.ndarray:
 
 
 def _fwd_kernel(x_ref, w_ref, out_ref, *, centers, inv_h):
+    # basis tile built g-major: (T, G*D), then ONE MXU matmul with the
+    # g-major weight (G*D, O). A per-center loop of (T, D)x(D, O) matmuls
+    # underuses the MXU K dimension (measured slower than XLA's fused path).
     x = x_ref[...]  # (T, D)
-    acc = jnp.zeros(out_ref.shape, jnp.float32)
-    for g, c in enumerate(centers):
+    parts = []
+    for c in centers:
         d = (x - c) * inv_h
-        basis = jnp.exp(-(d * d))
-        acc += jnp.dot(basis, w_ref[g], preferred_element_type=jnp.float32)
-    out_ref[...] = acc.astype(out_ref.dtype)
+        parts.append(jnp.exp(-(d * d)))
+    basis = jnp.concatenate(parts, axis=1)  # (T, G*D)
+    out_ref[...] = jnp.dot(basis, w_ref[...],
+                           preferred_element_type=jnp.float32
+                           ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, centers, inv_h):
@@ -51,19 +56,25 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, centers, inv_h):
 
     x = x_ref[...]  # (T, D)
     dout = g_ref[...]  # (T, O)
-    dx = jnp.zeros(x.shape, jnp.float32)
-    for g, c in enumerate(centers):
+    D = x.shape[1]
+    parts, ds = [], []
+    for c in centers:
         d = (x - c) * inv_h
-        basis = jnp.exp(-(d * d))
-        # dW[g] = basis^T @ dout    (accumulated across row tiles)
-        dw_ref[g] += jax.lax.dot_general(
-            basis, dout, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dw_ref.dtype)
-        # dbasis = dout @ W[g]^T ; dbasis/dx = basis * (-2 d * inv_h)
-        dbasis = jax.lax.dot_general(
-            dout, w_ref[g], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dx += dbasis * basis * (-2.0 * d * inv_h)
+        ds.append(d)
+        parts.append(jnp.exp(-(d * d)))
+    basis = jnp.concatenate(parts, axis=1)  # (T, G*D)
+    # dW = basis^T @ dout (accumulated across row tiles)
+    dw_ref[...] += jax.lax.dot_general(
+        basis, dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dw_ref.dtype)
+    # dbasis = dout @ W^T ; dbasis/dx = basis * (-2 d * inv_h)
+    dbasis = jax.lax.dot_general(
+        dout, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (T, G*D)
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for g in range(len(centers)):
+        dx += (dbasis[:, g * D:(g + 1) * D] * parts[g]
+               * (-2.0 * ds[g] * inv_h))
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
@@ -97,7 +108,7 @@ def _rbf_fwd_impl(x, w_gdo, grid_min, grid_max, num_grids, denominator,
         in_specs=[
             pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, D, O), lambda i: (0, 0, 0),
+            pl.BlockSpec((G * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
@@ -108,7 +119,7 @@ def _rbf_fwd_impl(x, w_gdo, grid_min, grid_max, num_grids, denominator,
             bytes_accessed=4 * (np_rows * D + G * D * O + np_rows * O),
             transcendentals=np_rows * D * G),
         interpret=interpret,
-    )(xp, w_gdo)
+    )(xp, w_gdo.reshape(G * D, O))
     return out[:n]
 
 
@@ -134,7 +145,7 @@ def _rbf_vjp_bwd(grid_min, grid_max, num_grids, denominator, interpret,
         in_specs=[
             pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, D, O), lambda i: (0, 0, 0),
+            pl.BlockSpec((G * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -142,16 +153,16 @@ def _rbf_vjp_bwd(grid_min, grid_max, num_grids, denominator, interpret,
         out_specs=(
             pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, D, O), lambda i: (0, 0, 0),
+            pl.BlockSpec((G * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((np_rows, D), x.dtype),
-            jax.ShapeDtypeStruct((G, D, O), w_gdo.dtype),
+            jax.ShapeDtypeStruct((G * D, O), w_gdo.dtype),
         ),
         interpret=interpret,
-    )(xp, w_gdo, gp)
-    return dx[:n], dw
+    )(xp, w_gdo.reshape(G * D, O), gp)
+    return dx[:n], dw.reshape(G, D, O)
 
 
 rbf_spline_matmul.defvjp(_rbf_vjp_fwd, _rbf_vjp_bwd)

@@ -1,0 +1,158 @@
+"""Profiling and roofline reporting.
+
+The reference's only performance tooling is wall-clock timing scripts
+(node_classification_clean/time_model.py:35-48). Here:
+
+  * `trace(logdir)` — jax.profiler trace context (view in TensorBoard /
+    Perfetto);
+  * `Roofline` — analytic FLOP/byte model vs hardware peaks, reporting
+    compute and bandwidth utilization and the bound resource;
+  * `kernel_report(...)` — measures the fused KAN kernels at given shapes
+    and emits their roofline rows (the per-kernel roofline deliverable of
+    BASELINE.md).
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass(frozen=True)
+class HardwarePeaks:
+    name: str
+    flops_bf16: float  # FLOP/s
+    flops_f32: float
+    hbm_gbps: float  # bytes/s
+
+
+# TPU v5e (one chip): 197 TFLOP/s bf16 MXU peak, ~1/2 for f32 inputs with
+# f32 accumulation, 819 GB/s HBM.
+V5E = HardwarePeaks("tpu-v5e", 197e12, 98.5e12, 819e9)
+
+
+@dataclasses.dataclass
+class Roofline:
+    label: str
+    flops: float
+    bytes_accessed: float
+    seconds: float
+    peaks: HardwarePeaks = V5E
+    dtype: str = "f32"
+
+    @property
+    def achieved_flops(self) -> float:
+        return self.flops / self.seconds
+
+    @property
+    def achieved_gbps(self) -> float:
+        return self.bytes_accessed / self.seconds
+
+    @property
+    def compute_util(self) -> float:
+        peak = (self.peaks.flops_bf16 if self.dtype == "bf16"
+                else self.peaks.flops_f32)
+        return self.achieved_flops / peak
+
+    @property
+    def bandwidth_util(self) -> float:
+        return self.achieved_gbps / self.peaks.hbm_gbps
+
+    @property
+    def bound(self) -> str:
+        # the resource closer to its peak is the binding one
+        return "compute" if self.compute_util >= self.bandwidth_util else "hbm"
+
+    def row(self) -> dict:
+        return {
+            "kernel": self.label,
+            "seconds": round(self.seconds, 6),
+            "tflops": round(self.achieved_flops / 1e12, 2),
+            "gbps": round(self.achieved_gbps / 1e9, 1),
+            "compute_util": round(self.compute_util, 4),
+            "bandwidth_util": round(self.bandwidth_util, 4),
+            "bound": self.bound,
+            "hw": self.peaks.name,
+        }
+
+
+def _time_fn(fn: Callable, *args, iters: int = 20) -> float:
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def kernel_report(n: int = 131072, d: int = 64, o: int = 64,
+                  grid_size: int = 4, spline_order: int = 3,
+                  num_grids: int = 8, iters: int = 20,
+                  peaks: HardwarePeaks = V5E) -> list[dict]:
+    """Roofline rows for the fused B-spline and RBF kernels plus their XLA
+    reference paths at the given shapes."""
+    from kagnn_tpu.kan import bspline, rbf
+    from kagnn_tpu.pallas.bspline_fused import kan_linear_fused
+    from kagnn_tpu.pallas.rbf_fused import fastkan_fused
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    rows = []
+
+    # ---- B-spline
+    nb = grid_size + spline_order
+    grid = bspline.make_grid(d, grid_size, spline_order)
+    wb = jnp.asarray(rng.normal(size=(o, d)).astype(np.float32) * 0.1)
+    ws = jnp.asarray(rng.normal(size=(o, d, nb)).astype(np.float32) * 0.1)
+    flops_bs = 2 * n * d * o * (nb + 1)
+    bytes_fused = 4 * (n * d + n * o + d * o * (nb + 1))
+    sec = _time_fn(jax.jit(lambda x: kan_linear_fused(
+        x, grid, wb, ws, spline_order, interpret=False)), x, iters=iters)
+    rows.append(Roofline("bspline_fused", flops_bs, bytes_fused, sec,
+                         peaks).row())
+
+    def bs_xla(x):
+        base = jax.nn.silu(x) @ wb.T
+        bases = bspline.b_splines(x, grid, spline_order)
+        return base + bases.reshape(n, -1) @ ws.reshape(o, -1).T
+
+    bytes_xla = bytes_fused + 2 * 4 * n * d * nb  # basis round-trips HBM
+    sec = _time_fn(jax.jit(bs_xla), x, iters=iters)
+    rows.append(Roofline("bspline_xla", flops_bs, bytes_xla, sec,
+                         peaks).row())
+
+    # ---- RBF
+    w = jnp.asarray(
+        rng.normal(size=(o, d * num_grids)).astype(np.float32) * 0.1)
+    h = 4.0 / (num_grids - 1)
+    flops_rbf = 2 * n * d * o * num_grids
+    bytes_rbf_fused = 4 * (n * d + n * o + d * o * num_grids)
+    sec = _time_fn(jax.jit(lambda x: fastkan_fused(
+        x, w, -2.0, 2.0, num_grids, h, interpret=False)), x, iters=iters)
+    rows.append(Roofline("rbf_fused", flops_rbf, bytes_rbf_fused, sec,
+                         peaks).row())
+
+    def rbf_xla(x):
+        basis = rbf.rbf_basis(x, rbf.make_rbf_grid(-2.0, 2.0, num_grids), h)
+        return basis.reshape(n, -1) @ w.T
+
+    bytes_rbf_xla = bytes_rbf_fused + 2 * 4 * n * d * num_grids
+    sec = _time_fn(jax.jit(rbf_xla), x, iters=iters)
+    rows.append(Roofline("rbf_xla", flops_rbf, bytes_rbf_xla, sec,
+                         peaks).row())
+    return rows
