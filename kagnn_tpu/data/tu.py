@@ -50,9 +50,11 @@ def load_tu_dataset(name: str, root: str = "datasets",
     def path(suffix):
         return os.path.join(raw, f"{name}_{suffix}.txt")
 
-    edges = np.loadtxt(path("A"), delimiter=",", dtype=np.int64) - 1  # 1-based
-    graph_of_node = np.loadtxt(path("graph_indicator"), dtype=np.int64) - 1
-    graph_labels = np.loadtxt(path("graph_labels"), dtype=np.int64)
+    edges = np.loadtxt(path("A"), delimiter=",", dtype=np.int64,
+                       ndmin=2) - 1  # 1-based ids
+    graph_of_node = np.loadtxt(path("graph_indicator"), dtype=np.int64,
+                               ndmin=1) - 1
+    graph_labels = np.loadtxt(path("graph_labels"), dtype=np.int64, ndmin=1)
     # remap labels to 0..C-1 preserving sort order (PyG does the same)
     uniq = np.unique(graph_labels)
     y_all = np.searchsorted(uniq, graph_labels).astype(np.int32)

@@ -32,16 +32,29 @@ def _centers(grid_min: float, grid_max: float, num_grids: int) -> np.ndarray:
     return np.linspace(grid_min, grid_max, num_grids).astype(np.float32)
 
 
+def _wide_basis(x, centers, inv_h):
+    """(T, D) -> basis (T, G*D) and scaled distance d (T, G*D), computed as
+    ONE wide elementwise chain (full 8x128 lane utilization even for small D;
+    a per-center loop of (T, D) ops runs half-empty at D=64).
+
+    The per-column center row is built in closed form from an iota (the
+    centers are always a linspace) — pallas kernels cannot capture array
+    constants."""
+    G = len(centers)
+    D = x.shape[1]
+    step = float(centers[1] - centers[0]) if G > 1 else 0.0
+    xb = jnp.concatenate([x] * G, axis=1)  # (T, G*D)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (1, G * D), 1) // D
+    c_row = float(centers[0]) + col_g.astype(x.dtype) * step
+    d = (xb - c_row) * inv_h
+    return jnp.exp(-(d * d)), d
+
+
 def _fwd_kernel(x_ref, w_ref, out_ref, *, centers, inv_h):
-    # basis tile built g-major: (T, G*D), then ONE MXU matmul with the
-    # g-major weight (G*D, O). A per-center loop of (T, D)x(D, O) matmuls
-    # underuses the MXU K dimension (measured slower than XLA's fused path).
-    x = x_ref[...]  # (T, D)
-    parts = []
-    for c in centers:
-        d = (x - c) * inv_h
-        parts.append(jnp.exp(-(d * d)))
-    basis = jnp.concatenate(parts, axis=1)  # (T, G*D)
+    # wide basis tile (T, G*D), then ONE MXU matmul with the g-major weight
+    # (G*D, O). Per-center (T, D)x(D, O) matmuls underuse the MXU K dim
+    # (measured slower than XLA's fused path).
+    basis, _ = _wide_basis(x_ref[...], centers, inv_h)
     out_ref[...] = jnp.dot(basis, w_ref[...],
                            preferred_element_type=jnp.float32
                            ).astype(out_ref.dtype)
@@ -57,12 +70,7 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, centers, inv_h):
     x = x_ref[...]  # (T, D)
     dout = g_ref[...]  # (T, O)
     D = x.shape[1]
-    parts, ds = [], []
-    for c in centers:
-        d = (x - c) * inv_h
-        ds.append(d)
-        parts.append(jnp.exp(-(d * d)))
-    basis = jnp.concatenate(parts, axis=1)  # (T, G*D)
+    basis, d = _wide_basis(x, centers, inv_h)
     # dW = basis^T @ dout (accumulated across row tiles)
     dw_ref[...] += jax.lax.dot_general(
         basis, dout, (((0,), (0,)), ((), ())),
@@ -71,10 +79,10 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, centers, inv_h):
     dbasis = jax.lax.dot_general(
         dout, w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (T, G*D)
+    wide = dbasis * basis * (-2.0 * inv_h) * d  # (T, G*D)
     dx = jnp.zeros(x.shape, jnp.float32)
     for g in range(len(centers)):
-        dx += (dbasis[:, g * D:(g + 1) * D] * parts[g]
-               * (-2.0 * ds[g] * inv_h))
+        dx += wide[:, g * D:(g + 1) * D]
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
