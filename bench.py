@@ -56,8 +56,10 @@ def init_state(model, g, tx, num_features=128):
 
     # parameter shapes do not depend on graph size: init on a tiny dummy
     # graph, on the host CPU backend (avoids a remote lstsq compile)
+    from kagnn_tpu.ops import segment
+
     cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), segment.use_pallas_spmm(False):
         tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
                             nodes=np.zeros((8, num_features), np.float32),
                             y=np.zeros(8, np.int32))
@@ -91,19 +93,24 @@ def main():
     n_edges = int(g.n_edge)
     tx = optax.adam(1e-3)
 
+    from kagnn_tpu.ops import segment
+
     model = make_model(fused=False)
     state = init_state(model, g, tx)
     step, _ = make_node_steps(model, tx)
-    sec_baseline = time_steps(step, state, g, mask)
+    # baseline: plain XLA end to end (no Pallas kernels anywhere)
+    with segment.use_pallas_spmm(False):
+        sec_baseline = time_steps(step, state, g, mask)
 
     best_sec, best_path = sec_baseline, "xla"
     try:
         model_f = make_model(fused=True)
         step_f, _ = make_node_steps(model_f, tx)
+        # best path: fused KAN kernels + Pallas sorted-segment-sum SpMM
         sec_fused = time_steps(step_f, state, g, mask)
         if sec_fused < best_sec:
             best_sec, best_path = sec_fused, "pallas-fused"
-    except Exception as e:  # fused path unavailable -> report baseline
+    except Exception:  # fused path unavailable -> report baseline
         sec_fused = None
 
     print(json.dumps({

@@ -8,3 +8,7 @@ multi-chip graph-parallel training the reference lacks.
 """
 
 __version__ = "0.1.0"
+
+from kagnn_tpu.graphs import GraphBatch, PadSpec, batch_graphs, pad_spec_for, single_graph  # noqa: E402,F401
+from kagnn_tpu.models import GraphClassifier, GraphRegressor, NodeClassifier  # noqa: E402,F401
+from kagnn_tpu.kan import KAN, KANLinear, FastKAN, FastKANLayer  # noqa: E402,F401

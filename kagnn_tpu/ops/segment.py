@@ -43,6 +43,33 @@ def _current_axis() -> str | None:
     return getattr(_STATE, "axis", None)
 
 
+@contextlib.contextmanager
+def use_pallas_spmm(enabled: bool | None = True, interpret: bool = False):
+    """Control routing of sorted segment-sums through the Pallas
+    sorted-segment-sum kernel (pallas/spmm.py). XLA's TPU scatter-add is far
+    off bandwidth at arxiv scale; the kernel streams sorted edges and
+    accumulates on the MXU. Default (no context): AUTO — kernel is used on
+    the TPU backend for sorted 2D float32 reductions wide enough to be worth
+    the lane-aligned DMA (>= 64 features)."""
+    prev = getattr(_STATE, "spmm", None)
+    _STATE.spmm = (enabled, interpret)
+    try:
+        yield
+    finally:
+        _STATE.spmm = prev
+
+
+def _spmm_mode():
+    return getattr(_STATE, "spmm", None)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
 def segment_sum(
     data: Array,
     segment_ids: Array,
@@ -50,6 +77,19 @@ def segment_sum(
     indices_are_sorted: bool = False,
 ) -> Array:
     """Sum `data` rows into `num_segments` buckets given by `segment_ids`."""
+    spmm = _spmm_mode()
+    eligible = (indices_are_sorted and data.ndim == 2
+                and data.dtype == jnp.float32 and _current_axis() is None)
+    if spmm is None:
+        route = eligible and data.shape[1] >= 64 and _on_tpu()
+        interpret = False
+    else:
+        route = eligible and bool(spmm[0])
+        interpret = spmm[1]
+    if route:
+        from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+        return sorted_segment_sum(data, segment_ids, num_segments, interpret)
     out = jax.ops.segment_sum(
         data,
         segment_ids,
