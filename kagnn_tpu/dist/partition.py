@@ -33,7 +33,8 @@ from kagnn_tpu.train.loops import TrainState
 
 Array = jax.Array
 
-_EDGE_LEAVES = ("senders", "receivers", "edge_mask", "edges")
+_EDGE_LEAVES = ("senders", "receivers", "edge_mask", "edges",
+                "senders_perm", "senders_sorted")
 
 
 def pad_edges_to(g: GraphBatch, multiple: int) -> GraphBatch:

@@ -41,7 +41,8 @@ def stack_batches(batches: list[GraphBatch]) -> GraphBatch:
 def _batch_sharding(mesh: Mesh, g: GraphBatch, data_axis: str,
                     edge_axis: str | None) -> GraphBatch:
     """Pytree of NamedShardings matching a *stacked* GraphBatch."""
-    edge_leaves = {"senders", "receivers", "edge_mask", "edges"}
+    edge_leaves = {"senders", "receivers", "edge_mask", "edges",
+                   "senders_perm", "senders_sorted"}
 
     def spec_for(name: str, v):
         if v is None:

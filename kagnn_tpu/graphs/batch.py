@@ -53,6 +53,11 @@ class GraphBatch:
     n_node: Array  # () int32 — number of valid nodes
     n_edge: Array  # () int32
     n_graph: Array  # () int32
+    # sender-sort metadata (optional): senders[senders_perm] ==
+    # senders_sorted, ascending. Lets the backward of neighbor gathers run
+    # through the sorted-segment-sum kernel instead of an XLA scatter.
+    senders_perm: Optional[Array] = None  # (E,) int32
+    senders_sorted: Optional[Array] = None  # (E,) int32
 
     # -- static helpers ----------------------------------------------------
     @property
@@ -126,6 +131,7 @@ def single_graph(
             y = np.concatenate(
                 [y, np.zeros((n_pad - n_node,) + y.shape[1:], y.dtype)])
 
+    perm = np.argsort(senders, kind="stable").astype(np.int32)
     return GraphBatch(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(receivers),
@@ -139,6 +145,8 @@ def single_graph(
         n_node=jnp.asarray(n_node, jnp.int32),
         n_edge=jnp.asarray(n_edge, jnp.int32),
         n_graph=jnp.asarray(1, jnp.int32),
+        senders_perm=jnp.asarray(perm),
+        senders_sorted=jnp.asarray(senders[perm]),
     )
 
 
@@ -238,6 +246,7 @@ def batch_graphs(
         if y.shape[-1] == 1:
             y = y[..., 0]
 
+    perm = np.argsort(senders, kind="stable").astype(np.int32)
     return GraphBatch(
         senders=jnp.asarray(senders),
         receivers=jnp.asarray(receivers),
@@ -251,4 +260,6 @@ def batch_graphs(
         n_node=jnp.asarray(n_node, jnp.int32),
         n_edge=jnp.asarray(n_edge, jnp.int32),
         n_graph=jnp.asarray(len(graphs), jnp.int32),
+        senders_perm=jnp.asarray(perm),
+        senders_sorted=jnp.asarray(senders[perm]),
     )

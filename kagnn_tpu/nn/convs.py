@@ -93,7 +93,8 @@ class GCNConv(nn.Module):
         # per-edge norm: d_j^-1/2 * d_i^-1/2 (zero on padded edges)
         norm = dinv_sqrt[g.senders] * dinv_sqrt[g.receivers]
         norm = jnp.where(g.edge_mask, norm, 0.0)
-        msgs = segment.gather(h, g.senders) * norm[:, None]
+        msgs = segment.gather(h, g.senders, g.senders_perm,
+                              g.senders_sorted) * norm[:, None]
         out = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
                                   indices_are_sorted=True)
         # implicit self-loop: weight d_i^-1
@@ -137,7 +138,9 @@ class GATConv(nn.Module):
             logits, g.receivers, g.n_node_pad, mask=g.edge_mask,
             indices_are_sorted=True, extra_logits=self_logits)
 
-        msgs = segment.gather(h, g.senders) * w_edge[..., None]
+        msgs = segment.gather(h.reshape(-1, H * C), g.senders,
+                              g.senders_perm, g.senders_sorted)
+        msgs = msgs.reshape(-1, H, C) * w_edge[..., None]
         out = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
                                   indices_are_sorted=True)
         out = out + h * w_self[..., None]
@@ -158,7 +161,8 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, g: GraphBatch, x: Array, train: bool = False) -> Array:
-        msgs = segment.gather(x, g.senders)
+        msgs = segment.gather(x, g.senders, g.senders_perm,
+                              g.senders_sorted)
         msgs = jnp.where(g.edge_mask[:, None], msgs, 0.0)
         agg = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
                                   indices_are_sorted=True)
@@ -176,7 +180,8 @@ class GINEConv(nn.Module):
     @nn.compact
     def __call__(self, g: GraphBatch, x: Array, edge_attr: Array,
                  train: bool = False) -> Array:
-        msgs = nn.relu(segment.gather(x, g.senders) + edge_attr)
+        msgs = nn.relu(segment.gather(x, g.senders, g.senders_perm,
+                                      g.senders_sorted) + edge_attr)
         msgs = jnp.where(g.edge_mask[:, None], msgs, 0.0)
         agg = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
                                   indices_are_sorted=True)

@@ -187,7 +187,50 @@ def segment_softmax(
     return edge_exp / denom[segment_ids], jnp.zeros_like(seg_max)
 
 
-def gather(x: Array, indices: Array) -> Array:
-    """Row gather `x[indices]` — kept as a named op so the Pallas/sharded
-    backends can swap in fused implementations."""
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sorted_bwd_gather(x, indices, perm, sorted_indices, interpret):
+    return jnp.take(x, indices, axis=0)
+
+
+def _sbg_fwd(x, indices, perm, sorted_indices, interpret):
+    return jnp.take(x, indices, axis=0), (perm, sorted_indices, x.shape[0])
+
+
+def _sbg_bwd(interpret, res, cot):
+    perm, sorted_indices, n_rows = res
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+    cot_sorted = jnp.take(cot, perm, axis=0)
+    dx = sorted_segment_sum(cot_sorted, sorted_indices, n_rows, interpret)
+    return dx, None, None, None
+
+
+_sorted_bwd_gather.defvjp(_sbg_fwd, _sbg_bwd)
+
+
+def gather(x: Array, indices: Array, sort_perm: Array | None = None,
+           sorted_indices: Array | None = None) -> Array:
+    """Row gather `x[indices]`.
+
+    The TRANSPOSE of a gather is a scatter-add, which XLA serializes on TPU
+    (~20ms at arxiv scale — as slow as the forward aggregation it pairs
+    with). When the caller supplies a precomputed sort-by-index permutation
+    (`indices[sort_perm] == sorted_indices`, ascending — the batchers build
+    these), the backward is rewritten as permute-gather + the Pallas
+    sorted-segment-sum kernel instead.
+    """
+    # Opt-in only (use_pallas_spmm(True)): at bench shapes the rewrite
+    # (perm-gather of the cotangent + sorted-segment-sum) measured slightly
+    # slower than XLA's scatter (100.7 vs 97.6 ms full fwd+bwd), because the
+    # random cotangent permute costs about what the scatter saves. It wins
+    # when scatter degrades further (very high skew / wider rows).
+    spmm = _spmm_mode()
+    if spmm is not None and spmm[0] and x.ndim == 2 \
+            and x.dtype == jnp.float32 and _current_axis() is None \
+            and sort_perm is not None and sorted_indices is not None:
+        return _sorted_bwd_gather(x, indices, sort_perm, sorted_indices,
+                                  spmm[1])
     return jnp.take(x, indices, axis=0)

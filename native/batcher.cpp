@@ -43,6 +43,7 @@ int assemble_batch(
     int64_t n_node_pad, int64_t n_edge_pad, int64_t n_graph_pad,
     int32_t* out_snd, int32_t* out_rcv, uint8_t* out_edge_mask,
     uint8_t* out_node_mask, int32_t* out_node_graph, float* out_feat,
+    int32_t* out_perm, int32_t* out_snd_sorted,
     int64_t* out_counts) {
   if (n_sel + 1 > n_graph_pad) return -1;
 
@@ -89,6 +90,25 @@ int assemble_batch(
     out_snd[e] = static_cast<int32_t>(n_node_pad - 1);
     out_rcv[e] = static_cast<int32_t>(n_node_pad - 1);
     out_edge_mask[e] = 0;
+  }
+
+  // sender-sort metadata: counting sort of the assembled edges by sender
+  // (perm s.t. out_snd[perm] ascending; padded edges land at the end since
+  // they point at the last padded node)
+  {
+    std::vector<int64_t> shist(n_node_pad + 1, 0);
+    for (int64_t e = 0; e < n_edge_pad; ++e) shist[out_snd[e]]++;
+    int64_t srun = 0;
+    for (int64_t v = 0; v <= n_node_pad; ++v) {
+      const int64_t c = shist[v];
+      shist[v] = srun;
+      srun += c;
+    }
+    for (int64_t e = 0; e < n_edge_pad; ++e) {
+      const int64_t pos = shist[out_snd[e]]++;
+      out_perm[pos] = static_cast<int32_t>(e);
+      out_snd_sorted[pos] = out_snd[e];
+    }
   }
 
   // node masks / segment ids / features
