@@ -62,13 +62,20 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, scratch, sems,
 
         get_dma(slot, c).wait()
         recv = recv_ref[c, :][None, :]  # (1, TILE_E) int32
-        onehot = (recv == row_ids).astype(jnp.float32)  # (R, TILE_E)
-        # HIGHEST precision: the TPU-default bf16 matmul truncates message
-        # mantissas, which is unacceptable for an (exact 0/1) aggregation
-        return acc + jax.lax.dot_general(
-            onehot, scratch[slot], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        onehot = (recv == row_ids).astype(jnp.bfloat16)  # (R, TILE_E), exact
+        # bf16 hi/lo split: the one-hot side is exact in bf16; splitting the
+        # messages into bf16 hi + residual lo recovers ~f32 fidelity with two
+        # default-speed MXU passes (measured 7.3ms vs 8.3ms for the 6-pass
+        # HIGHEST f32 matmul, same ~2e-4 error scale).
+        m = scratch[slot]
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        return (acc
+                + jax.lax.dot_general(onehot, hi, dn,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(onehot, lo, dn,
+                                      preferred_element_type=jnp.float32))
 
     acc = jnp.zeros((ROWS_PER_BLOCK, d), jnp.float32)
     acc = jax.lax.fori_loop(c0, c1, body, acc)

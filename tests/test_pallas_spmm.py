@@ -28,8 +28,9 @@ def test_forward_matches_xla(rng, e, n, d, skew):
     want = jax.ops.segment_sum(msgs, recv, num_segments=n,
                                indices_are_sorted=True)
     got = sorted_segment_sum(msgs, recv, n, True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
-                               atol=1e-4)
+    # bf16 hi/lo-split matmul: ~f32 fidelity, not bit-exact
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=5e-4)
 
 
 def test_empty_segments_and_all_one_segment(rng):
