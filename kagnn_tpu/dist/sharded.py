@@ -93,10 +93,15 @@ def make_sharded_train_step(
         return loss_of_output(out, batch), mut
 
     def step(state: TrainState, stacked: GraphBatch, keys):
+        from kagnn_tpu.ops import segment
+
         def loss_fn(params):
-            losses, muts = jax.vmap(
-                per_replica_loss, in_axes=(None, None, None, 0, 0))(
-                params, state.buffers, state.batch_stats, stacked, keys)
+            # Pallas kernels under vmap+GSPMD are not exercised yet — pin the
+            # vmapped replica loss to the XLA segment ops
+            with segment.use_pallas_spmm(False):
+                losses, muts = jax.vmap(
+                    per_replica_loss, in_axes=(None, None, None, 0, 0))(
+                    params, state.buffers, state.batch_stats, stacked, keys)
             # merge per-replica batch stats by mean (sync-BN style)
             mut = jax.tree.map(lambda x: x.mean(0), muts)
             return losses.mean(), mut
