@@ -17,6 +17,7 @@ once.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -39,7 +40,8 @@ def build_graph(n_nodes=169_343, n_edges=1_166_243, num_features=128,
 
 
 def make_model(fused: bool, hidden=64, grid_size=4, spline_order=3,
-               mp_layers=3, num_features=128, n_classes=40):
+               mp_layers=3, num_features=128, n_classes=40,
+               compute_dtype=None):
     from kagnn_tpu.models import NodeClassifier
 
     return NodeClassifier(conv_type="gin", architecture="kan",
@@ -47,7 +49,7 @@ def make_model(fused: bool, hidden=64, grid_size=4, spline_order=3,
                           hidden_channels=hidden, num_classes=n_classes,
                           grid_size=grid_size, spline_order=spline_order,
                           skip=False, hidden_layers=2, dropout=0.0,
-                          fused=fused)
+                          fused=fused, compute_dtype=compute_dtype)
 
 
 def init_state(model, g, tx, num_features=128):
@@ -106,12 +108,25 @@ def main():
     try:
         model_f = make_model(fused=True)
         step_f, _ = make_node_steps(model_f, tx)
-        # best path: fused KAN kernels + Pallas sorted-segment-sum SpMM
+        # fused KAN kernels + Pallas sorted-segment-sum SpMM
         sec_fused = time_steps(step_f, state, g, mask)
         if sec_fused < best_sec:
             best_sec, best_path = sec_fused, "pallas-fused"
     except Exception:  # fused path unavailable -> report baseline
         sec_fused = None
+    sec_bf16 = None
+    if os.environ.get("KAGNN_BENCH_BF16"):
+        # mixed precision: bf16 compute (f32 master weights/logits/loss).
+        # Off by default: a third full train-step compile can exceed the
+        # remote-compile time budget on this tunnel.
+        try:
+            model_b = make_model(fused=True, compute_dtype=jnp.bfloat16)
+            step_b, _ = make_node_steps(model_b, tx)
+            sec_bf16 = time_steps(step_b, state, g, mask)
+            if sec_bf16 < best_sec:
+                best_sec, best_path = sec_bf16, "pallas-fused-bf16"
+        except Exception:
+            sec_bf16 = None
 
     print(json.dumps({
         "metric": "edges/s/chip (KAGIN train step, arxiv-scale)",
@@ -124,6 +139,8 @@ def main():
             "sec_per_step_unfused_xla": round(sec_baseline, 5),
             "sec_per_step_fused": None if sec_fused is None else round(
                 sec_fused, 5),
+            "sec_per_step_fused_bf16": None if sec_bf16 is None else round(
+                sec_bf16, 5),
             "n_edges": n_edges,
             "backend": jax.default_backend(),
         },

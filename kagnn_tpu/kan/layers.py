@@ -62,6 +62,7 @@ class KANLinear(nn.Module):
     grid_range: tuple[float, float] = (-1.0, 1.0)
     fused: bool = False  # dispatch basis+GEMM to the fused Pallas kernel
     param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Optional[jnp.dtype] = None  # e.g. bf16 mixed precision
 
     def setup(self):
         n_coeff = self.grid_size + self.spline_order
@@ -111,17 +112,21 @@ class KANLinear(nn.Module):
         orig_shape = x.shape
         x = x.reshape(-1, self.in_features)
         grid = self.grid.value
+        cd = self.compute_dtype
+        wb, ws = self.base_weight, self.scaled_spline_weight
+        if cd is not None:
+            x, grid, wb, ws = (x.astype(cd), grid.astype(cd),
+                               wb.astype(cd), ws.astype(cd))
 
         if self.fused:
             from kagnn_tpu.pallas import bspline_fused
 
             out = bspline_fused.kan_linear_fused(
-                x, grid, self.base_weight, self.scaled_spline_weight,
-                self.spline_order)
+                x, grid, wb, ws, self.spline_order)
         else:
-            base = self.base_activation(x) @ self.base_weight.T
+            base = self.base_activation(x) @ wb.T
             bases = bspline.b_splines(x, grid, self.spline_order)
-            w = self.scaled_spline_weight.reshape(self.out_features, -1)
+            w = ws.reshape(self.out_features, -1)
             out = base + bases.reshape(x.shape[0], -1) @ w.T
         return out.reshape(*orig_shape[:-1], self.out_features)
 
@@ -149,6 +154,7 @@ class KAN(nn.Module):
     grid_eps: float = 0.02
     grid_range: tuple[float, float] = (-1.0, 1.0)
     fused: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None,
@@ -170,6 +176,7 @@ class KAN(nn.Module):
                 grid_eps=self.grid_eps,
                 grid_range=self.grid_range,
                 fused=self.fused,
+                compute_dtype=self.compute_dtype,
                 name=f"layers_{i}",
             )(x)
         return x
@@ -193,6 +200,7 @@ class FastKANLayer(nn.Module):
     spline_weight_init_scale: float = 0.1
     fused: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         if self.use_layernorm:
@@ -229,20 +237,27 @@ class FastKANLayer(nn.Module):
     def __call__(self, x: Array, use_layernorm: bool = True) -> Array:
         orig_shape = x.shape
         x = x.reshape(-1, self.input_dim)
+        cd = self.compute_dtype
+        if cd is not None:
+            x = x.astype(cd)
         xs = self.layernorm(x) if (self.use_layernorm and use_layernorm) else x
 
+        sw = self.spline_weight if cd is None else self.spline_weight.astype(cd)
         if self.fused:
             from kagnn_tpu.pallas import rbf_fused
 
             ret = rbf_fused.fastkan_fused(
-                xs, self.spline_weight, self.grid_min, self.grid_max,
+                xs, sw, self.grid_min, self.grid_max,
                 self.num_grids, self.denominator)
         else:
-            grid = rbf.make_rbf_grid(self.grid_min, self.grid_max, self.num_grids)
+            grid = rbf.make_rbf_grid(self.grid_min, self.grid_max,
+                                     self.num_grids).astype(xs.dtype)
             basis = rbf.rbf_basis(xs, grid, self.denominator)
-            ret = basis.reshape(x.shape[0], -1) @ self.spline_weight.T
+            ret = basis.reshape(x.shape[0], -1) @ sw.T
         if self.use_base_update:
-            ret = ret + self.base_activation(x) @ self.base_weight.T + self.base_bias
+            wb = self.base_weight if cd is None else self.base_weight.astype(cd)
+            bb = self.base_bias if cd is None else self.base_bias.astype(cd)
+            ret = ret + self.base_activation(x) @ wb.T + bb
         return ret.reshape(*orig_shape[:-1], self.output_dim)
 
 
@@ -295,6 +310,7 @@ class FastKAN(nn.Module):
     base_activation: Callable[[Array], Array] = jax.nn.silu
     spline_weight_init_scale: float = 0.1
     fused: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None,
@@ -312,6 +328,7 @@ class FastKAN(nn.Module):
                 base_activation=self.base_activation,
                 spline_weight_init_scale=self.spline_weight_init_scale,
                 fused=self.fused,
+                compute_dtype=self.compute_dtype,
                 name=f"layers_{i}",
             )(x)
         return x

@@ -15,7 +15,7 @@ Replicated reference semantics (including quirks that affect parity):
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -45,22 +45,33 @@ class NodeClassifier(nn.Module):
     dropout: float = 0.0
     heads: int = 4
     fused: bool = False
+    compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16 mixed precision
 
     def _transform(self):
+        cd = self.compute_dtype
         if self.architecture == "kan":
-            return kan_transform(self.grid_size, self.spline_order, self.fused)
+            def make(fin, fout):
+                return KANLinear(fin, fout, grid_size=self.grid_size,
+                                 spline_order=self.spline_order,
+                                 fused=self.fused, compute_dtype=cd)
+            return make
         if self.architecture == "fastkan":
-            return fastkan_transform(self.grid_size, self.fused)
+            def make(fin, fout):
+                return FastKANLayer(fin, fout, num_grids=self.grid_size,
+                                    fused=self.fused, compute_dtype=cd)
+            return make
         return None  # dense
 
     def _gin_update(self, fin: int, fout: int) -> nn.Module:
         if self.architecture == "kan":
             sizes = [fin] + [self.hidden_channels] * (self.hidden_layers - 1) + [fout]
             return KAN(sizes, grid_size=self.grid_size,
-                       spline_order=self.spline_order, fused=self.fused)
+                       spline_order=self.spline_order, fused=self.fused,
+                       compute_dtype=self.compute_dtype)
         if self.architecture == "fastkan":
             sizes = [fin] + [self.hidden_channels] * (self.hidden_layers - 1) + [fout]
-            return FastKAN(sizes, num_grids=self.grid_size, fused=self.fused)
+            return FastKAN(sizes, num_grids=self.grid_size, fused=self.fused,
+                           compute_dtype=self.compute_dtype)
         # reference node make_mlp: no batch norm (models.py:8-17)
         return MLP(fin, self.hidden_channels, fout, self.hidden_layers,
                    batch_norm=False)
@@ -70,6 +81,8 @@ class NodeClassifier(nn.Module):
                  train: bool = False) -> Array:
         if x is None:
             x = g.nodes
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         heads = self.heads if self.conv_type == "gat" else 1
         H = self.hidden_channels
 
@@ -84,8 +97,13 @@ class NodeClassifier(nn.Module):
                 x = GINConv(self._gin_update(fin, H))(g, x, train=train)
             else:
                 raise ValueError(f"unknown conv_type {self.conv_type}")
-            x = MaskedBatchNorm(H * heads)(x, mask=g.node_mask,
+            # BatchNorm statistics in f32 for stability; back to compute
+            # dtype afterwards
+            x = MaskedBatchNorm(H * heads)(x.astype(jnp.float32),
+                                           mask=g.node_mask,
                                            use_running_average=not train)
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
             collected.append(x)
 
@@ -97,11 +115,12 @@ class NodeClassifier(nn.Module):
         if self.architecture == "kan":
             x = KANLinear(dim_head, self.num_classes, grid_size=self.grid_size,
                           spline_order=self.spline_order, fused=self.fused,
-                          name="head")(x)
+                          compute_dtype=self.compute_dtype, name="head")(x)
         elif self.architecture == "fastkan":
             x = FastKANLayer(dim_head, self.num_classes,
                              num_grids=self.grid_size, fused=self.fused,
-                             name="head")(x)
+                             compute_dtype=self.compute_dtype, name="head")(x)
         else:
             x = TorchLinear(dim_head, self.num_classes, name="head")(x)
-        return x
+        # logits in f32 (loss stability)
+        return x.astype(jnp.float32)

@@ -92,13 +92,13 @@ class GCNConv(nn.Module):
         dinv_sqrt = jax.lax.rsqrt(deg)
         # per-edge norm: d_j^-1/2 * d_i^-1/2 (zero on padded edges)
         norm = dinv_sqrt[g.senders] * dinv_sqrt[g.receivers]
-        norm = jnp.where(g.edge_mask, norm, 0.0)
+        norm = jnp.where(g.edge_mask, norm, 0.0).astype(dtype)
         msgs = segment.gather(h, g.senders, g.senders_perm,
                               g.senders_sorted) * norm[:, None]
         out = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
                                   indices_are_sorted=True)
         # implicit self-loop: weight d_i^-1
-        out = out + h * (dinv_sqrt * dinv_sqrt)[:, None]
+        out = out + h * (dinv_sqrt * dinv_sqrt)[:, None].astype(dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.out_features,))

@@ -79,7 +79,8 @@ def segment_sum(
     """Sum `data` rows into `num_segments` buckets given by `segment_ids`."""
     spmm = _spmm_mode()
     eligible = (indices_are_sorted and data.ndim == 2
-                and data.dtype == jnp.float32 and _current_axis() is None)
+                and data.dtype in (jnp.float32, jnp.bfloat16)
+                and _current_axis() is None)
     if spmm is None:
         route = eligible and data.shape[1] >= 64 and _on_tpu()
         interpret = False

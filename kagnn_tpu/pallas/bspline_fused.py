@@ -57,17 +57,20 @@ def _basis_ladder(x, t, k: int, n_knots: int, keep_penultimate: bool):
 
 def _fwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, out_ref, *, k: int,
                 n_basis: int, n_knots: int):
-    x = x_ref[...]  # (T, D)
+    xin = x_ref[...]  # (T, D)
+    # the ladder (comparisons + divisions) runs in f32: the VPU does not
+    # support bf16 comparisons, and f32 knot arithmetic is more accurate
+    x = xin.astype(jnp.float32)
 
     def t(j):
-        return grid_ref[j, :][None, :]  # (1, D)
+        return grid_ref[j, :][None, :].astype(jnp.float32)  # (1, D)
 
-    sx = x * jax.nn.sigmoid(x)  # SiLU
+    sx = (x * jax.nn.sigmoid(x)).astype(xin.dtype)  # SiLU (f32 math)
     acc = jnp.dot(sx, wb_ref[...], preferred_element_type=jnp.float32)
     bases, _ = _basis_ladder(x, t, k, n_knots, keep_penultimate=False)
     # one big (T, n_basis*D) x (n_basis*D, O) MXU matmul — a per-basis loop
     # of K=D matmuls underuses the MXU contraction dimension
-    basis = jnp.concatenate(bases[:n_basis], axis=1)
+    basis = jnp.concatenate(bases[:n_basis], axis=1).astype(xin.dtype)
     acc += jnp.dot(basis, ws_ref[...], preferred_element_type=jnp.float32)
     out_ref[...] = acc.astype(out_ref.dtype)
 
@@ -81,14 +84,15 @@ def _bwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, g_ref, dx_ref, dwb_ref,
         dwb_ref[...] = jnp.zeros_like(dwb_ref)
         dws_ref[...] = jnp.zeros_like(dws_ref)
 
-    x = x_ref[...]
+    xin = x_ref[...]
+    x = xin.astype(jnp.float32)  # f32 ladder (see _fwd_kernel)
     dout = g_ref[...]  # (T, O)
 
     def t(j):
-        return grid_ref[j, :][None, :]
+        return grid_ref[j, :][None, :].astype(jnp.float32)
 
     sig = jax.nn.sigmoid(x)
-    sx = x * sig
+    sx = (x * sig).astype(xin.dtype)
     dwb_ref[...] += jax.lax.dot_general(
         sx, dout, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dwb_ref.dtype)
@@ -99,7 +103,8 @@ def _bwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, g_ref, dx_ref, dwb_ref,
 
     bases, pen = _basis_ladder(x, t, k, n_knots, keep_penultimate=True)
     D = x.shape[1]
-    basis = jnp.concatenate(bases[:n_basis], axis=1)  # (T, n_basis*D)
+    basis = jnp.concatenate(bases[:n_basis], axis=1).astype(
+        xin.dtype)  # (T, n_basis*D)
     dws_ref[...] += jax.lax.dot_general(
         basis, dout, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dws_ref.dtype)

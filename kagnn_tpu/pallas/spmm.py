@@ -63,14 +63,18 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, scratch, sems,
         get_dma(slot, c).wait()
         recv = recv_ref[c, :][None, :]  # (1, TILE_E) int32
         onehot = (recv == row_ids).astype(jnp.bfloat16)  # (R, TILE_E), exact
-        # bf16 hi/lo split: the one-hot side is exact in bf16; splitting the
-        # messages into bf16 hi + residual lo recovers ~f32 fidelity with two
-        # default-speed MXU passes (measured 7.3ms vs 8.3ms for the 6-pass
-        # HIGHEST f32 matmul, same ~2e-4 error scale).
         m = scratch[slot]
+        dn = (((1,), (0,)), ((), ()))
+        if m.dtype == jnp.bfloat16:
+            # bf16 messages: one default-speed pass, exact product
+            return acc + jax.lax.dot_general(
+                onehot, m, dn, preferred_element_type=jnp.float32)
+        # f32 messages, bf16 hi/lo split: the one-hot side is exact in bf16;
+        # splitting the messages into bf16 hi + residual lo recovers ~f32
+        # fidelity with two default-speed MXU passes (measured 7.3ms vs 8.3ms
+        # for the 6-pass HIGHEST f32 matmul, same ~2e-4 error scale).
         hi = m.astype(jnp.bfloat16)
         lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
         return (acc
                 + jax.lax.dot_general(onehot, hi, dn,
                                       preferred_element_type=jnp.float32)
@@ -94,7 +98,7 @@ def _pad_to(x: Array, m: int, axis: int = 0, fill=0):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def sorted_segment_sum(msgs: Array, receivers: Array, num_segments: int,
                        interpret: bool = False) -> Array:
-    """segment_sum for receiver-SORTED edges. msgs (E, D) float32,
+    """segment_sum for receiver-SORTED edges. msgs (E, D) f32/bf16,
     receivers (E,) int32 ascending. Returns (num_segments, D)."""
     return _fwd_impl(msgs, receivers, num_segments, interpret)
 
@@ -129,7 +133,7 @@ def _fwd_impl(msgs, receivers, num_segments, interpret):
         out_specs=pl.BlockSpec((ROWS_PER_BLOCK, d), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_E, d), jnp.float32),
+            pltpu.VMEM((2, TILE_E, d), msgs.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
