@@ -17,7 +17,7 @@ Replicated reference semantics:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -47,12 +47,23 @@ class GraphClassifier(nn.Module):
     dropout: float = 0.0
     heads: int = 4
     fused: bool = False
+    compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16
 
     def _transform(self):
+        from kagnn_tpu.kan.layers import FastKANLayer, KANLinear
+
+        cd = self.compute_dtype
         if self.architecture == "kan":
-            return kan_transform(self.grid_size, self.spline_order, self.fused)
+            def make(fin, fout):
+                return KANLinear(fin, fout, grid_size=self.grid_size,
+                                 spline_order=self.spline_order,
+                                 fused=self.fused, compute_dtype=cd)
+            return make
         if self.architecture == "fastkan":
-            return fastkan_transform(self.grid_size, self.fused)
+            def make(fin, fout):
+                return FastKANLayer(fin, fout, num_grids=self.grid_size,
+                                    fused=self.fused, compute_dtype=cd)
+            return make
         return None
 
     def _net(self, fin: int, fout: int, depth: int, batch_norm: bool) -> nn.Module:
@@ -60,9 +71,11 @@ class GraphClassifier(nn.Module):
         sizes = [fin] + [self.hidden_dim] * (depth - 1) + [fout]
         if self.architecture == "kan":
             return KAN(sizes, grid_size=self.grid_size,
-                       spline_order=self.spline_order, fused=self.fused)
+                       spline_order=self.spline_order, fused=self.fused,
+                       compute_dtype=self.compute_dtype)
         if self.architecture == "fastkan":
-            return FastKAN(sizes, num_grids=self.grid_size, fused=self.fused)
+            return FastKAN(sizes, num_grids=self.grid_size, fused=self.fused,
+                           compute_dtype=self.compute_dtype)
         return MLP(fin, self.hidden_dim, fout, depth, batch_norm=batch_norm)
 
     @nn.compact
@@ -70,6 +83,9 @@ class GraphClassifier(nn.Module):
                  train: bool = False) -> Array:
         if x is None:
             x = g.nodes
+        if self.compute_dtype is not None and jnp.issubdtype(x.dtype,
+                                                             jnp.floating):
+            x = x.astype(self.compute_dtype)
         Hd = self.hidden_dim
         heads = self.heads
 
@@ -108,4 +124,4 @@ class GraphClassifier(nn.Module):
                 pooled, mask=g.graph_mask, train=train)
         else:
             raise ValueError(f"unknown conv_type {self.conv_type}")
-        return nn.log_softmax(out, axis=1)
+        return nn.log_softmax(out.astype(jnp.float32), axis=1)

@@ -22,10 +22,11 @@ defaults); here they are honored.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from kagnn_tpu.graphs.batch import GraphBatch
 from kagnn_tpu.kan.layers import KAN, FastKAN
@@ -52,21 +53,34 @@ class GraphRegressor(nn.Module):
     dropout: float = 0.0
     ogb_encoders: bool = True
     fused: bool = False
+    compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16
 
     def _transform(self):
+        from kagnn_tpu.kan.layers import FastKANLayer, KANLinear
+
+        cd = self.compute_dtype
         if self.architecture == "kan":
-            return kan_transform(self.grid_size, self.spline_order, self.fused)
+            def make(fin, fout):
+                return KANLinear(fin, fout, grid_size=self.grid_size,
+                                 spline_order=self.spline_order,
+                                 fused=self.fused, compute_dtype=cd)
+            return make
         if self.architecture == "fastkan":
-            return fastkan_transform(self.grid_size, self.fused)
+            def make(fin, fout):
+                return FastKANLayer(fin, fout, num_grids=self.grid_size,
+                                    fused=self.fused, compute_dtype=cd)
+            return make
         return None
 
     def _net(self, fin: int, fout: int, depth: int, batch_norm: bool) -> nn.Module:
         sizes = [fin] + [self.hidden_dim] * (depth - 1) + [fout]
         if self.architecture == "kan":
             return KAN(sizes, grid_size=self.grid_size,
-                       spline_order=self.spline_order, fused=self.fused)
+                       spline_order=self.spline_order, fused=self.fused,
+                       compute_dtype=self.compute_dtype)
         if self.architecture == "fastkan":
-            return FastKAN(sizes, num_grids=self.grid_size, fused=self.fused)
+            return FastKAN(sizes, num_grids=self.grid_size, fused=self.fused,
+                           compute_dtype=self.compute_dtype)
         return MLP(fin, self.hidden_dim, fout, depth, batch_norm=batch_norm)
 
     @nn.compact
@@ -83,6 +97,8 @@ class GraphRegressor(nn.Module):
             x = AtomEncoder(Hd)(x)
         else:
             x = TorchLinear(self.num_node_features, Hd, name="atom_encoder")(x)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
 
         if self.conv_type == "gin":
             if edge_attr.ndim == 1:
@@ -114,4 +130,4 @@ class GraphRegressor(nn.Module):
                 pooled, mask=g.graph_mask, train=train)
         else:
             raise ValueError(f"unknown conv_type {self.conv_type}")
-        return out
+        return out.astype(jnp.float32)
