@@ -260,6 +260,23 @@ class FastKANLayer(nn.Module):
             ret = ret + self.base_activation(x) @ wb.T + bb
         return ret.reshape(*orig_shape[:-1], self.output_dim)
 
+    def plot_curve(self, input_index: int, output_index: int,
+                   num_pts: int = 1000, num_extrapolate_bins: int = 2):
+        """Learned univariate curve for one (input, output) pair — reference
+        fastkan.py:87-115. Call via module.apply(vars, ..., method=
+        FastKANLayer.plot_curve); returns (x, y) arrays, no plotting dep."""
+        ng = self.num_grids
+        h = self.denominator
+        assert input_index < self.input_dim
+        assert output_index < self.output_dim
+        w = self.spline_weight[output_index,
+                               input_index * ng:(input_index + 1) * ng]
+        x = jnp.linspace(self.grid_min - num_extrapolate_bins * h,
+                         self.grid_max + num_extrapolate_bins * h, num_pts)
+        grid = rbf.make_rbf_grid(self.grid_min, self.grid_max, ng)
+        y = (w * rbf.rbf_basis(x, grid, h)).sum(-1)
+        return x, y
+
 
 class AttentionWithFastKANTransform(nn.Module):
     """Multi-head attention with FastKAN q/k/v/o/gating projections.

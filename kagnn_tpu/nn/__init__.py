@@ -4,3 +4,7 @@ from kagnn_tpu.nn.convs import (GCNConv, GATConv, GINConv, GINEConv,
                                 global_mean_pool)
 from kagnn_tpu.nn.mlp import MLP, TorchLinear
 from kagnn_tpu.nn.encoders import AtomEncoder, BondEncoder
+from kagnn_tpu.nn.kagnn import (FASTKAGATConv, FASTKAGCNConv,
+                                GIFASTKANLayer, GIKANLayer, KAGATConv,
+                                KAGCNConv, KAGINEConv, make_fastkan, make_kan,
+                                make_mlp)
