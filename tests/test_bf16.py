@@ -35,6 +35,47 @@ def test_bf16_close_to_f32():
             assert rel < 0.1, (conv, arch, rel)
 
 
+def test_bf16_graph_models_close_to_f32(rng):
+    from kagnn_tpu.data.synthetic import random_molecule_graphs
+    from kagnn_tpu.graphs import batch_graphs, pad_spec_for
+    from kagnn_tpu.models import GraphClassifier, GraphRegressor
+
+    graphs = random_molecule_graphs(n_graphs=8, seed=4)
+    spec = pad_spec_for(graphs, 8)
+    gb = batch_graphs(graphs, spec)
+
+    m32 = GraphRegressor(conv_type="gin", architecture="kan", gnn_layers=2,
+                         num_node_features=1, num_edge_features=1,
+                         hidden_dim=8, grid_size=3, spline_order=2)
+    m16 = GraphRegressor(conv_type="gin", architecture="kan", gnn_layers=2,
+                         num_node_features=1, num_edge_features=1,
+                         hidden_dim=8, grid_size=3, spline_order=2,
+                         compute_dtype=jnp.bfloat16)
+    vs = m32.init(jax.random.key(0), gb)
+    o32 = np.asarray(m32.apply(vs, gb))
+    o16 = np.asarray(m16.apply(vs, gb))
+    assert o16.dtype == np.float32
+    assert np.abs(o16 - o32).mean() / (np.abs(o32).mean() + 1e-6) < 0.1
+
+    onehot = [dict(g, nodes=np.eye(21, dtype=np.float32)[g["nodes"][:, 0]])
+              for g in graphs]
+    for g in onehot:
+        g.pop("edges")
+    gb2 = batch_graphs(onehot, pad_spec_for(onehot, 8))
+    gb2 = gb2.replace(y=gb2.y.astype(jnp.int32))
+    c32 = GraphClassifier(conv_type="gin", architecture="fastkan",
+                          gnn_layers=2, num_features=21, hidden_dim=8,
+                          num_classes=2, grid_size=4)
+    c16 = GraphClassifier(conv_type="gin", architecture="fastkan",
+                          gnn_layers=2, num_features=21, hidden_dim=8,
+                          num_classes=2, grid_size=4,
+                          compute_dtype=jnp.bfloat16)
+    vs = c32.init(jax.random.key(0), gb2)
+    o32 = np.asarray(c32.apply(vs, gb2))
+    o16 = np.asarray(c16.apply(vs, gb2))
+    assert np.abs(np.exp(o16) - np.exp(o32)).max() < 0.1  # prob-scale close
+
+
 def test_bf16_training_learns():
     d, g, model = _setup("gcn", "fastkan", jnp.bfloat16)
     tx = optax.adam(1e-2)
