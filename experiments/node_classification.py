@@ -39,6 +39,8 @@ def main():
     p.add_argument("--log_dir", default="logs")
     p.add_argument("--fused", action="store_true",
                    help="use fused Pallas KAN kernels")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision compute")
     args = p.parse_args()
 
     from kagnn_tpu.train.experiments import run_node_experiment
@@ -54,6 +56,7 @@ def main():
             "skip": args.skip,
             "heads": args.heads,
             "fused": args.fused,
+            "bf16": args.bf16,
             "hidden_layers": 0,
             "grid_size": 0,
             "spline_order": 0,
@@ -93,7 +96,8 @@ def main():
         "dataset": args.dataset, "conv_type": args.conv_type,
         "architecture": args.architecture, "patience": args.patience,
         "epochs": args.epochs, "skip": args.skip, "heads": args.heads,
-        "fused": args.fused, "hidden_layers": 0, "grid_size": 0,
+        "fused": args.fused,
+            "bf16": args.bf16, "hidden_layers": 0, "grid_size": 0,
         "spline_order": 0,
     }
     params.update(best)

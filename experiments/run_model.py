@@ -41,6 +41,8 @@ def main():
     p.add_argument("--data_root", default="data")
     p.add_argument("--log_dir", default="logs")
     p.add_argument("--fused", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision compute")
     p.add_argument("--random_seed", type=int, default=0)
     args = p.parse_args()
 
@@ -49,7 +51,7 @@ def main():
     params = {k: getattr(args, k) for k in (
         "conv_type", "architecture", "hidden_channels", "hidden_layers",
         "grid_size", "spline_order", "lr", "dropout", "epochs", "patience",
-        "skip", "heads", "fused")}
+        "skip", "heads", "fused", "bf16")}
     res = run_node_experiment(params, args.dataset, data_root=args.data_root,
                               log_dir=args.log_dir,
                               max_splits=args.max_splits,

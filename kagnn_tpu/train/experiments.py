@@ -84,6 +84,7 @@ def make_node_model(params: dict) -> NodeClassifier:
         dropout=params.get("dropout", 0.0),
         heads=params.get("heads", 4),
         fused=params.get("fused", False),
+        compute_dtype=jnp.bfloat16 if params.get("bf16") else None,
     )
 
 
