@@ -93,10 +93,9 @@ class GCNConv(nn.Module):
         # per-edge norm: d_j^-1/2 * d_i^-1/2 (zero on padded edges)
         norm = dinv_sqrt[g.senders] * dinv_sqrt[g.receivers]
         norm = jnp.where(g.edge_mask, norm, 0.0).astype(dtype)
-        msgs = segment.gather(h, g.senders, g.senders_perm,
-                              g.senders_sorted) * norm[:, None]
-        out = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
-                                  indices_are_sorted=True)
+        # fused gather+aggregate; backward runs scatter-free over the
+        # sender-sorted edge copy (norm is mask-derived, no gradient)
+        out = segment.neighbor_sum(h, g, edge_weight=norm)
         # implicit self-loop: weight d_i^-1
         out = out + h * (dinv_sqrt * dinv_sqrt)[:, None].astype(dtype)
         if self.use_bias:
@@ -161,11 +160,8 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, g: GraphBatch, x: Array, train: bool = False) -> Array:
-        msgs = segment.gather(x, g.senders, g.senders_perm,
-                              g.senders_sorted)
-        msgs = jnp.where(g.edge_mask[:, None], msgs, 0.0)
-        agg = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
-                                  indices_are_sorted=True)
+        agg = segment.neighbor_sum(x, g,
+                                   edge_weight=g.edge_mask.astype(x.dtype))
         return self.update((1.0 + self.eps) * x + agg,
                            mask=g.node_mask, train=train)
 

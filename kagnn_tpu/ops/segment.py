@@ -212,6 +212,78 @@ def _sbg_bwd(interpret, res, cot):
 _sorted_bwd_gather.defvjp(_sbg_fwd, _sbg_bwd)
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _neighbor_sum_sorted(x, senders, receivers, edge_weight, senders_perm,
+                         senders_sorted, num_segments, interpret):
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+    msgs = jnp.take(x, senders, axis=0)
+    if edge_weight is not None:
+        msgs = msgs * edge_weight[:, None]
+    return sorted_segment_sum(msgs, receivers, num_segments, interpret)
+
+
+def _ns_fwd(x, senders, receivers, edge_weight, senders_perm, senders_sorted,
+            num_segments, interpret):
+    out = _neighbor_sum_sorted(x, senders, receivers, edge_weight,
+                               senders_perm, senders_sorted, num_segments,
+                               interpret)
+    return out, (receivers, edge_weight, senders_perm, senders_sorted,
+                 x.shape[0])
+
+
+def _ns_bwd(num_segments, interpret, res, cot):
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+    receivers, edge_weight, perm, senders_sorted, n_rows = res
+    # dx = A^T @ cot: gather the cotangent rows at the receivers of the
+    # SENDER-sorted edge copy, then one more sorted-segment-sum — no scatter,
+    # no separate edge-cotangent permute
+    recv_sorted_by_sender = jnp.take(receivers, perm)
+    cot_edges = jnp.take(cot, recv_sorted_by_sender, axis=0)
+    if edge_weight is not None:
+        cot_edges = cot_edges * jnp.take(edge_weight, perm)[:, None]
+    dx = sorted_segment_sum(cot_edges, senders_sorted, n_rows, interpret)
+    return dx, None, None, None, None, None
+
+
+_neighbor_sum_sorted.defvjp(_ns_fwd, _ns_bwd)
+
+
+def neighbor_sum(x: Array, g, edge_weight: Array | None = None) -> Array:
+    """out_i = sum over edges e with receiver i of w_e * x[sender_e] — the
+    fused gather+aggregate (SpMM with A as the weighted adjacency).
+
+    On TPU with sorted-edge metadata this runs forward AND backward through
+    the sorted-segment-sum kernel (backward re-expresses A^T @ cot over the
+    sender-sorted edge copy), eliminating XLA's serialized scatter from the
+    gradient path. `edge_weight` is treated as non-differentiable (GCN norms
+    are functions of the masks only; attention weights must NOT use this op).
+    Falls back to gather + segment_sum elsewhere.
+    """
+    eligible = (x.ndim == 2 and x.dtype in (jnp.float32, jnp.bfloat16)
+                and _current_axis() is None
+                and getattr(g, "senders_perm", None) is not None
+                and g.senders_sorted is not None)
+    spmm = _spmm_mode()
+    if spmm is None:
+        route = eligible and x.shape[1] >= 64 and _on_tpu()
+        interpret = False
+    else:
+        route = eligible and bool(spmm[0])
+        interpret = spmm[1]
+    if route:
+        w = None if edge_weight is None else jax.lax.stop_gradient(edge_weight)
+        return _neighbor_sum_sorted(x, g.senders, g.receivers, w,
+                                    g.senders_perm, g.senders_sorted,
+                                    g.n_node_pad, interpret)
+    msgs = jnp.take(x, g.senders, axis=0)
+    if edge_weight is not None:
+        msgs = msgs * edge_weight[:, None]
+    return segment_sum(msgs, g.receivers, g.n_node_pad,
+                       indices_are_sorted=True)
+
+
 def gather(x: Array, indices: Array, sort_perm: Array | None = None,
            sorted_indices: Array | None = None) -> Array:
     """Row gather `x[indices]`.
