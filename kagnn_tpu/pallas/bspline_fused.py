@@ -40,16 +40,22 @@ def _basis_ladder(x, t, k: int, n_knots: int, keep_penultimate: bool):
     n_knots-1-k order-k bases and (if requested) the order-(k-1) bases.
     Mirrors the reference recursion (ekan.py:96-105) with the basis axis
     unrolled into 2D tiles.
+
+    VPU economics: knot-span denominators are data-independent, so they are
+    inverted once per tile as (1, D) rows and the (T, D) work is multiplies
+    only (an f32 divide costs several multiplies on the VPU); x - t(j)
+    differences are computed once and reused across ladder levels.
     """
-    b = [((x >= t(j)) & (x < t(j + 1))).astype(x.dtype)
+    xt = [x - t(j) for j in range(n_knots)]  # (T, D), reused at every level
+    b = [((xt[j] >= 0) & (xt[j + 1] < 0)).astype(x.dtype)
          for j in range(n_knots - 1)]
     pen = None
     for kk in range(1, k + 1):
         if kk == k:
             pen = b
         b = [
-            (x - t(j)) / (t(j + kk) - t(j)) * b[idx]
-            + (t(j + kk + 1) - x) / (t(j + kk + 1) - t(j + 1)) * b[idx + 1]
+            xt[j] * (1.0 / (t(j + kk) - t(j))) * b[idx]
+            - xt[j + kk + 1] * (1.0 / (t(j + kk + 1) - t(j + 1))) * b[idx + 1]
             for idx, j in enumerate(range(len(b) - 1))
         ]
     return b, (pen if keep_penultimate else None)
@@ -113,8 +119,8 @@ def _bwd_kernel(x_ref, grid_ref, wb_ref, ws_ref, g_ref, dx_ref, dwb_ref,
         preferred_element_type=jnp.float32)  # (T, n_basis*D)
     if k >= 1:
         for g in range(n_basis):
-            left = pen[g] / (t(g + k) - t(g))
-            right = pen[g + 1] / (t(g + k + 1) - t(g + 1))
+            left = pen[g] * (1.0 / (t(g + k) - t(g)))
+            right = pen[g + 1] * (1.0 / (t(g + k + 1) - t(g + 1)))
             dx += dbasis[:, g * D:(g + 1) * D] * (k * (left - right))
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
