@@ -50,6 +50,13 @@ def main():
     p.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--skip-ops", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="marginal-cost sweep over model variants (full train "
+                        "steps; differences between rows isolate components)")
+    p.add_argument("--variant", default=None,
+                   help="time ONE sweep variant and exit (the tunnel backend "
+                        "degrades to bogus timings after several executables "
+                        "in one process, so the sweep shells out per variant)")
     args = p.parse_args()
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
@@ -119,6 +126,10 @@ def main():
     from kagnn_tpu.train.loops import TrainState, make_node_steps
     from kagnn_tpu.train import losses
 
+    if args.sweep or args.variant:
+        _sweep(g, d, dt, args.iters, args.variant, args.dtype)
+        return
+
     cdt = dt if dt == jnp.bfloat16 else None
     kw = dict(conv_type="gin", architecture="kan", mp_layers=3,
               num_features=128, hidden_channels=64, num_classes=40,
@@ -177,6 +188,90 @@ def main():
     jax.block_until_ready(s)
     print(f"{'full train step':55s} "
           f"{(time.perf_counter() - t0) / args.iters * 1e3:8.2f} ms")
+
+
+def _time_step(model_kw, g, mask, iters):
+    import optax
+
+    from kagnn_tpu.graphs import single_graph
+    from kagnn_tpu.models import NodeClassifier
+    from kagnn_tpu.ops import segment
+    from kagnn_tpu.train.loops import TrainState, make_node_steps
+
+    model = NodeClassifier(fused=True, **model_kw)
+    nf = model_kw["num_features"]
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu), segment.use_pallas_spmm(False):
+        tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
+                            nodes=np.zeros((8, nf), np.float32),
+                            y=np.zeros(8, np.int32))
+        variables = NodeClassifier(fused=False, **model_kw).init(
+            {"params": jax.random.key(0)}, tiny)
+    dev = jax.devices()[0]
+    variables = jax.tree.map(lambda a: jax.device_put(a, dev), variables)
+    tx = optax.adam(1e-3)
+    state = TrainState(params=variables["params"],
+                       buffers=variables.get("buffers", {}),
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    step, _ = make_node_steps(model, tx)
+    k = jax.random.key(7)
+    nodes = g.nodes * (1.0 + (int.from_bytes(os.urandom(4), "little")
+                              % 1000) * 1e-9)
+    s, loss = step(state, g.replace(nodes=nodes), mask, k)
+    nodes = nodes * (1.0 + 1e-6)
+    s, loss = step(s, g.replace(nodes=nodes), mask, k)
+    # synchronize by FETCHING DATA (block_until_ready through the tunnel
+    # relay can return early); inputs vary per iteration so no execution can
+    # be served from the relay's response cache
+    float(loss)
+    float(jax.tree_util.tree_leaves(s.params)[0].sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        nodes = nodes * (1.0 + 1e-6)
+        s, loss = step(s, g.replace(nodes=nodes), mask, k)
+    float(loss)
+    float(jax.tree_util.tree_leaves(s.params)[0].sum())
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _variants(cdt):
+    base = dict(conv_type="gin", architecture="kan", mp_layers=3,
+                num_features=128, hidden_channels=64, num_classes=40,
+                grid_size=4, spline_order=3, skip=False, hidden_layers=2,
+                dropout=0.0, compute_dtype=cdt)
+    return {
+        "flagship": dict(base),
+        "mp2": dict(base, mp_layers=2),
+        "mp1": dict(base, mp_layers=1),
+        "upd1": dict(base, hidden_layers=1),
+        "mlp": dict(base, architecture="mlp"),
+        "fastkan": dict(base, architecture="fastkan"),
+        "gcn": dict(base, conv_type="gcn"),
+    }
+
+
+def _sweep(g, d, dt, iters, variant, dtype_flag):
+    N = g.n_node_pad
+    mask = jnp.asarray(np.arange(N) < int(d["n_node"]))
+    cdt = dt if dt == jnp.bfloat16 else None
+    variants = _variants(cdt)
+    if variant is not None:
+        ms = _time_step(variants[variant], g, mask, iters)
+        print(f"{variant:55s} {ms:8.2f} ms/step")
+        return
+    # one fresh process per variant: the tunnel backend degrades to bogus
+    # (non-blocking) timings after several executables in one process
+    import subprocess
+    for name in variants:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--skip-ops",
+             "--dtype", dtype_flag, "--iters", str(iters),
+             "--variant", name],
+            capture_output=True, text=True)
+        out = [l for l in r.stdout.splitlines() if "ms/step" in l]
+        print(out[-1] if out else f"{name}: FAILED\n{r.stderr[-2000:]}")
 
 
 if __name__ == "__main__":

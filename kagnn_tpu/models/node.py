@@ -97,13 +97,10 @@ class NodeClassifier(nn.Module):
                 x = GINConv(self._gin_update(fin, H))(g, x, train=train)
             else:
                 raise ValueError(f"unknown conv_type {self.conv_type}")
-            # BatchNorm statistics in f32 for stability; back to compute
-            # dtype afterwards
-            x = MaskedBatchNorm(H * heads)(x.astype(jnp.float32),
-                                           mask=g.node_mask,
+            # BatchNorm statistics accumulate in f32 inside the layer; the
+            # normalize itself stays in the compute dtype (one FMA pass)
+            x = MaskedBatchNorm(H * heads)(x, mask=g.node_mask,
                                            use_running_average=not train)
-            if self.compute_dtype is not None:
-                x = x.astype(self.compute_dtype)
             x = nn.Dropout(self.dropout)(x, deterministic=not train)
             collected.append(x)
 

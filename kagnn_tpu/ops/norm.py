@@ -41,24 +41,33 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.num_features,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
 
+        # statistics always in f32 (bf16 inputs upcast inside the fused
+        # reductions — XLA folds the convert into the sum, so HBM traffic
+        # stays at the input width)
+        xf = x.astype(jnp.float32)
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
             if mask is None:
-                n = jnp.asarray(x.shape[0], x.dtype)
-                mean = x.mean(axis=0)
-                var = ((x - mean) ** 2).mean(axis=0)
+                n = jnp.asarray(x.shape[0], jnp.float32)
+                mean = xf.mean(axis=0)
+                var = ((xf - mean) ** 2).mean(axis=0)
             else:
-                m = mask.astype(x.dtype)[:, None]
+                m = mask.astype(jnp.float32)[:, None]
                 n = jnp.maximum(m.sum(), 1.0)
-                mean = (x * m).sum(axis=0) / n
-                var = (((x - mean) ** 2) * m).sum(axis=0) / n
+                mean = (xf * m).sum(axis=0) / n
+                var = (((xf - mean) ** 2) * m).sum(axis=0) / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        # fold normalize+affine into one FMA in the input dtype:
+        # y = x*a + b with a = scale/sqrt(var+eps), b = bias - mean*a —
+        # one pass over x instead of three, bf16 traffic under mixed precision
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        y = x * a.astype(x.dtype) + b.astype(x.dtype)
         if mask is not None:
             y = jnp.where(mask[:, None], y, 0.0)
         return y
