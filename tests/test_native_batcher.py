@@ -73,14 +73,19 @@ def test_native_faster_than_numpy(rng):
     # warmup both
     asm.assemble(idx)
     batch_graphs([graphs[i] for i in idx], spec)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        asm.assemble(idx)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(20):
-        batch_graphs([graphs[i] for i in idx], spec)
-    t_numpy = time.perf_counter() - t0
-    # host-side assembly should not be slower natively; allow margin for
-    # CI timer noise under load (isolated runs show ~2x+ native advantage)
+
+    def best_of(fn, reps=5, iters=10):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_native = best_of(lambda: asm.assemble(idx))
+    t_numpy = best_of(lambda: batch_graphs([graphs[i] for i in idx], spec))
+    # host-side assembly should not be slower natively; compare best-of-5
+    # windows so a load spike on a shared CI box can't fail the test
+    # (isolated runs show ~2x+ native advantage)
     assert t_native < t_numpy * 1.5, (t_native, t_numpy)
