@@ -153,7 +153,11 @@ def load_geom_gcn(name: str, root: str = "data") -> dict:
 
 def load_ogbn_arxiv(root: str = "data") -> dict:
     """ogbn-arxiv from the extracted OGB directory layout
-    (reference utils.py:31-43; standard split repeated x10)."""
+    (reference utils.py:31-43; standard split repeated x10).
+
+    Deliberate deviation: the citation edges are symmetrized here (standard
+    OGB-leaderboard practice), while the reference trains on the raw
+    directed edge_index."""
     import gzip
 
     base = None

@@ -1,0 +1,376 @@
+"""Halo-exchange graph partition: node-sharded full-graph training.
+
+This is the scalable replacement for `dist/partition.py`'s allreduce-style
+edge partition (which replicates the (N, F) node arrays and psums the FULL
+array per segment reduction). Here
+
+  * nodes are sharded into contiguous blocks of B rows — device d owns
+    global rows [d*B, (d+1)*B);
+  * edges are partitioned by DESTINATION block, so every edge of a receiver
+    lives on the receiver's owner: segment-sums, GAT edge-softmax and the
+    GCN in-degree are all purely local;
+  * the only cross-device traffic is ONE `all_to_all` of the *boundary*
+    sender rows per aggregation (comm volume ∝ boundary nodes · F, not
+    N · F), plus scalar psums for batch-norm/loss statistics;
+  * the edge list is pre-split into internal edges (sender local) and halo
+    edges (sender remote), so the internal segment-sum has no data
+    dependency on the collective and XLA can overlap them.
+
+The reference has no distributed path at all (SURVEY.md §2.4 N8/N9 —
+single-GPU full-batch at node_classification_clean/utils.py:125); this is
+the GNN analogue of context parallelism, built on `shard_map` + ICI
+collectives per the TPU scaling recipe.
+
+All partition planning is host-side numpy (`build_halo_plan`); the device
+step consumes statically-shaped stacked arrays sharded over the mesh axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from kagnn_tpu.graphs.batch import GraphBatch
+from kagnn_tpu.ops import segment
+from kagnn_tpu.train.loops import TrainState
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Host-built partition plan. Every per-device array is stacked along a
+    leading device axis of size `n_shards` and consumed by shard_map with
+    in_specs P(axis) so each device sees only its slice."""
+
+    n_shards: int
+    block: int        # B — node rows per shard (static)
+    halo: int         # H — max boundary rows exchanged per (owner, dest) pair
+    e_loc: int        # padded edges per shard
+    boundary_rows: int  # true number of (owner, dest, node) boundary entries
+    # --- per-device edge topology (ext sender space: [0, B + D*H)) ---
+    senders: np.ndarray      # (D, E_loc) int32
+    receivers: np.ndarray    # (D, E_loc) int32, local [0, B), ascending
+    edge_mask: np.ndarray    # (D, E_loc) bool
+    n_edge: np.ndarray       # (D,) int32 valid edges per shard
+    # --- halo exchange plan ---
+    send_idx: np.ndarray     # (D, D, H) int32 — rows of shard d to send to p
+    send_mask: np.ndarray    # (D, D, H) bool
+    dinv_ext: np.ndarray     # (D, B + D*H) f32 — (deg+1)^-1/2, ext space
+    # --- node shard ---
+    node_mask: np.ndarray    # (D, B) bool
+    n_node: np.ndarray       # (D,) int32
+    # --- optional internal/halo edge split (comm/compute overlap) ---
+    s_int: Optional[np.ndarray] = None    # (D, Ei) int32 local sender rows
+    r_int: Optional[np.ndarray] = None    # (D, Ei) int32
+    int_sel: Optional[np.ndarray] = None  # (D, Ei) int32 into full edge list
+    int_mask: Optional[np.ndarray] = None # (D, Ei) bool
+    s_halo: Optional[np.ndarray] = None   # (D, Eh) int32 rows into recv_flat
+    r_halo: Optional[np.ndarray] = None   # (D, Eh) int32
+    halo_sel: Optional[np.ndarray] = None # (D, Eh) int32
+    halo_mask: Optional[np.ndarray] = None  # (D, Eh) bool
+
+    # ------------------------------------------------------------------
+    @property
+    def n_total(self) -> int:
+        return self.n_shards * self.block
+
+    def comm_rows_per_device(self) -> int:
+        """all_to_all rows moved per device per exchange (padded)."""
+        return self.n_shards * self.halo
+
+    def shard_nodes(self, arr: np.ndarray, fill=0) -> np.ndarray:
+        """Pad a global per-node array (Np, ...) to (D*B, ...) and reshape to
+        the stacked (D, B, ...) node-shard layout."""
+        arr = np.asarray(arr)
+        pad = self.n_total - arr.shape[0]
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+            arr = np.pad(arr, widths, constant_values=fill)
+        return arr.reshape((self.n_shards, self.block) + arr.shape[1:])
+
+
+def build_halo_plan(g: GraphBatch, n_shards: int, *, block_multiple: int = 8,
+                    halo_multiple: int = 8, edge_multiple: int = 128,
+                    split_edges: bool = True,
+                    block: Optional[int] = None) -> HaloPlan:
+    """Partition a single (full-batch) graph for halo-exchange training.
+
+    Nodes go to contiguous blocks of B = ceil(Np/D) rows; edges go to the
+    owner of their receiver (edges are receiver-sorted, so each shard's edge
+    list is a contiguous slice of the global list). For every (dest d,
+    owner p) pair the plan records the sorted unique boundary senders
+    R(d,p); device p sends x[R(d,p)] to d in slot d of one all_to_all.
+    """
+    D = int(n_shards)
+    senders = np.asarray(g.senders)
+    receivers = np.asarray(g.receivers)
+    emask = np.asarray(g.edge_mask)
+    np_pad = g.n_node_pad
+    if block is not None:
+        B = int(block)
+        assert B * D >= np_pad, (
+            f"block={B} x {D} shards < {np_pad} padded nodes")
+    else:
+        B = _round_up(-(-np_pad // D), block_multiple)
+    ntot = B * D
+
+    s = senders[emask].astype(np.int64)
+    r = receivers[emask].astype(np.int64)
+    order = np.argsort(r, kind="stable")
+    s, r = s[order], r[order]
+
+    bounds = np.searchsorted(r, np.arange(D + 1) * B).astype(np.int64)
+    n_edge_dev = np.diff(bounds).astype(np.int32)
+    e_loc = _round_up(max(int(n_edge_dev.max(initial=0)), 1), edge_multiple)
+
+    # symmetric-norm degrees (valid in-edges + self loop), data-independent
+    deg = np.bincount(r, minlength=ntot).astype(np.float32) + 1.0
+    dinv = 1.0 / np.sqrt(deg)
+
+    # boundary sets R(d, p)
+    rdp: dict[tuple[int, int], np.ndarray] = {}
+    h_max = 0
+    boundary_rows = 0
+    for d in range(D):
+        sd = s[bounds[d]:bounds[d + 1]]
+        owner = sd // B
+        for p in range(D):
+            if p == d:
+                continue
+            uniq = np.unique(sd[owner == p])
+            if uniq.size:
+                rdp[(d, p)] = uniq
+                h_max = max(h_max, int(uniq.size))
+                boundary_rows += int(uniq.size)
+    H = _round_up(max(h_max, 1), halo_multiple)
+
+    send_idx = np.zeros((D, D, H), np.int32)
+    send_mask = np.zeros((D, D, H), bool)
+    for (d, p), uniq in rdp.items():
+        send_idx[p, d, :uniq.size] = (uniq - p * B).astype(np.int32)
+        send_mask[p, d, :uniq.size] = True
+
+    ext_senders = np.zeros((D, e_loc), np.int32)
+    loc_receivers = np.full((D, e_loc), B - 1, np.int32)
+    edge_mask = np.zeros((D, e_loc), bool)
+    dinv_ext = np.zeros((D, B + D * H), np.float32)
+    is_internal = np.zeros((D, e_loc), bool)
+    for d in range(D):
+        sd = s[bounds[d]:bounds[d + 1]]
+        rd = r[bounds[d]:bounds[d + 1]]
+        ne = sd.size
+        owner = sd // B
+        ext = np.empty(ne, np.int64)
+        local = owner == d
+        ext[local] = sd[local] - d * B
+        for p in range(D):
+            sel = owner == p
+            if p == d or not sel.any():
+                continue
+            uniq = rdp[(d, p)]
+            pos = np.searchsorted(uniq, sd[sel])
+            ext[sel] = B + p * H + pos
+        ext_senders[d, :ne] = ext.astype(np.int32)
+        loc_receivers[d, :ne] = (rd - d * B).astype(np.int32)
+        edge_mask[d, :ne] = True
+        is_internal[d, :ne] = local
+        dinv_ext[d, :B] = dinv[d * B:(d + 1) * B]
+        for p in range(D):
+            if (d, p) in rdp:
+                uniq = rdp[(d, p)]
+                dinv_ext[d, B + p * H:B + p * H + uniq.size] = dinv[uniq]
+
+    node_mask = np.asarray(g.node_mask)
+    node_mask = np.pad(node_mask, (0, ntot - np_pad), constant_values=False)
+    node_mask = node_mask.reshape(D, B)
+    n_node = node_mask.sum(axis=1).astype(np.int32)
+
+    kw: dict[str, Any] = {}
+    if split_edges:
+        # the split preserves receiver order inside each list, so both local
+        # segment-sums still see ascending segment ids
+        counts_i = (is_internal & edge_mask).sum(axis=1)
+        counts_h = (~is_internal & edge_mask).sum(axis=1)
+        ei = _round_up(max(int(counts_i.max(initial=0)), 1), edge_multiple)
+        eh = _round_up(max(int(counts_h.max(initial=0)), 1), edge_multiple)
+        s_int = np.zeros((D, ei), np.int32)
+        r_int = np.full((D, ei), B - 1, np.int32)
+        int_sel = np.zeros((D, ei), np.int32)
+        int_mask = np.zeros((D, ei), bool)
+        s_halo = np.zeros((D, eh), np.int32)
+        r_halo = np.full((D, eh), B - 1, np.int32)
+        halo_sel = np.zeros((D, eh), np.int32)
+        halo_mask = np.zeros((D, eh), bool)
+        for d in range(D):
+            ii = np.where(is_internal[d] & edge_mask[d])[0]
+            hh = np.where(~is_internal[d] & edge_mask[d])[0]
+            s_int[d, :ii.size] = ext_senders[d, ii]
+            r_int[d, :ii.size] = loc_receivers[d, ii]
+            int_sel[d, :ii.size] = ii
+            int_mask[d, :ii.size] = True
+            s_halo[d, :hh.size] = ext_senders[d, hh] - B  # rows of recv_flat
+            r_halo[d, :hh.size] = loc_receivers[d, hh]
+            halo_sel[d, :hh.size] = hh
+            halo_mask[d, :hh.size] = True
+        kw = dict(s_int=s_int, r_int=r_int, int_sel=int_sel,
+                  int_mask=int_mask, s_halo=s_halo, r_halo=r_halo,
+                  halo_sel=halo_sel, halo_mask=halo_mask)
+
+    return HaloPlan(n_shards=D, block=B, halo=H, e_loc=e_loc,
+                    boundary_rows=boundary_rows, senders=ext_senders,
+                    receivers=loc_receivers, edge_mask=edge_mask,
+                    n_edge=n_edge_dev, send_idx=send_idx,
+                    send_mask=send_mask, dinv_ext=dinv_ext,
+                    node_mask=node_mask, n_node=n_node, **kw)
+
+
+# ---------------------------------------------------------------- step
+
+
+_SPLIT_FIELDS = ("s_int", "r_int", "int_sel", "int_mask",
+                 "s_halo", "r_halo", "halo_sel", "halo_mask")
+
+
+def _stack_arrays(plan: HaloPlan, g: GraphBatch, mask: np.ndarray) -> dict:
+    """Assemble the stacked (device-leading) array dict for the step."""
+    arrs = {
+        "senders": jnp.asarray(plan.senders),
+        "receivers": jnp.asarray(plan.receivers),
+        "edge_mask": jnp.asarray(plan.edge_mask),
+        "n_edge": jnp.asarray(plan.n_edge),
+        "send_idx": jnp.asarray(plan.send_idx),
+        "send_mask": jnp.asarray(plan.send_mask),
+        "dinv_ext": jnp.asarray(plan.dinv_ext),
+        "node_mask": jnp.asarray(plan.node_mask),
+        "n_node": jnp.asarray(plan.n_node),
+        "nodes": jnp.asarray(plan.shard_nodes(np.asarray(g.nodes))),
+        "y": jnp.asarray(plan.shard_nodes(np.asarray(g.y))),
+        "loss_mask": jnp.asarray(plan.shard_nodes(np.asarray(mask),
+                                                  fill=False)),
+    }
+    for f in _SPLIT_FIELDS:
+        v = getattr(plan, f)
+        if v is not None:
+            arrs[f] = jnp.asarray(v)
+    return arrs
+
+
+def _local_graph_and_state(plan: HaloPlan, loc: dict, axis: str):
+    B = plan.block
+    g = GraphBatch(
+        senders=loc["senders"], receivers=loc["receivers"],
+        nodes=loc["nodes"], edges=None, y=loc["y"],
+        node_mask=loc["node_mask"], edge_mask=loc["edge_mask"],
+        graph_mask=jnp.ones((1,), bool),
+        node_graph=jnp.zeros((B,), jnp.int32),
+        n_node=loc["n_node"], n_edge=loc["n_edge"],
+        n_graph=jnp.ones((), jnp.int32))
+    hs = segment.HaloState(
+        axis=axis, n_local=B, send_idx=loc["send_idx"],
+        send_mask=loc["send_mask"], dinv_ext=loc["dinv_ext"],
+        **{f: loc.get(f) for f in _SPLIT_FIELDS})
+    return g, hs
+
+
+def _psum_masked_ce(logits: Array, labels: Array, mask: Array,
+                    axis: str) -> Array:
+    """Global-mean masked cross entropy over node shards (matches
+    train/losses.masked_softmax_cross_entropy on the unsharded graph)."""
+    ll = optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels.astype(jnp.int32))
+    m = mask.astype(logits.dtype)
+    num = jax.lax.psum((ll * m).sum(), axis)
+    den = jax.lax.psum(m.sum(), axis)
+    return num / jnp.maximum(den, 1.0)
+
+
+def make_halo_node_step(model, tx: optax.GradientTransformation, mesh: Mesh,
+                        plan: HaloPlan, g: GraphBatch, mask,
+                        axis: str = "graph"):
+    """Build a jitted halo-partitioned full-graph node-classification train
+    step: (state, dropout_key) -> (state, loss). The graph/mask are baked
+    into device-sharded arrays at build time (full-batch training reuses the
+    same graph every step, reference node_classification_clean/utils.py:125).
+
+    Also returns an eval fn (state, eval_mask_stacked) -> (loss, accuracy)
+    computed with running statistics.
+    """
+    D = mesh.shape[axis]
+    assert D == plan.n_shards, (D, plan.n_shards)
+    arrs = _stack_arrays(plan, g, np.asarray(mask))
+    specs = {k: P(axis) for k in arrs}
+
+    def body(state: TrainState, loc: dict, key):
+        loc = {k: v[0] for k, v in loc.items()}  # drop the device axis
+        g_loc, hs = _local_graph_and_state(plan, loc, axis)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        with segment.halo_mode(hs):
+            def loss_fn(params):
+                variables = {"params": params, **(
+                    {"buffers": state.buffers} if state.buffers else {}), **(
+                    {"batch_stats": state.batch_stats}
+                    if state.batch_stats else {})}
+                out, mut = model.apply(
+                    variables, g_loc, train=True, rngs={"dropout": key},
+                    mutable=["batch_stats"])
+                return _psum_masked_ce(out, g_loc.y, loc["loss_mask"],
+                                       axis), mut
+
+            (loss, mut), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        # no explicit grad psum: with check_vma=True shard_map's transpose
+        # already all-reduces cotangents of replicated (P()) inputs, so
+        # `grads` is the exact global gradient on every shard
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        return state.replace(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=mut.get("batch_stats", state.batch_stats)
+            if state.batch_stats else state.batch_stats,
+            opt_state=new_opt, step=state.step + 1), loss
+
+    def eval_body(state: TrainState, loc: dict, eval_mask):
+        loc = {k: v[0] for k, v in loc.items()}
+        eval_mask = eval_mask[0]
+        g_loc, hs = _local_graph_and_state(plan, loc, axis)
+        with segment.halo_mode(hs):
+            out = model.apply(state.variables(), g_loc, train=False)
+        loss = _psum_masked_ce(out, g_loc.y, eval_mask, axis)
+        m = eval_mask.astype(jnp.float32)
+        correct = ((jnp.argmax(out, 1) == g_loc.y.astype(jnp.int32))
+                   .astype(jnp.float32) * m).sum()
+        acc = jax.lax.psum(correct, axis) / jnp.maximum(
+            jax.lax.psum(m.sum(), axis), 1.0)
+        return loss, acc
+
+    cache: dict[str, Any] = {}
+
+    def step(state: TrainState, key):
+        if "fn" not in cache:
+            st_spec = jax.tree.map(lambda _: P(), state)
+            cache["fn"] = jax.jit(shard_map(
+                body, mesh=mesh, in_specs=(st_spec, specs, P()),
+                out_specs=(st_spec, P()), check_vma=True))
+        return cache["fn"](state, arrs, key)
+
+    def evaluate(state: TrainState, eval_mask):
+        """eval_mask: global (Np,) bool — sharded internally."""
+        em = jnp.asarray(plan.shard_nodes(np.asarray(eval_mask), fill=False))
+        if "ev" not in cache:
+            st_spec = jax.tree.map(lambda _: P(), state)
+            cache["ev"] = jax.jit(shard_map(
+                eval_body, mesh=mesh, in_specs=(st_spec, specs, P(axis)),
+                out_specs=(P(), P()), check_vma=True))
+        return cache["ev"](state, arrs, em)
+
+    return step, evaluate

@@ -88,16 +88,23 @@ class GCNConv(nn.Module):
         h = make(self.in_features, self.out_features)(x)
         dtype = h.dtype
 
-        deg = _degree_with_self_loops(g, dtype)
-        dinv_sqrt = jax.lax.rsqrt(deg)
+        hs = segment.halo_state()
+        if hs is not None:
+            # node-sharded: degrees are data-independent, so the plan ships
+            # D^-1/2 in extended [local; halo] index space — no exchange here
+            dinv_sqrt = hs.dinv_ext.astype(dtype)
+            dinv_local = dinv_sqrt[:hs.n_local]
+        else:
+            deg = _degree_with_self_loops(g, dtype)
+            dinv_sqrt = dinv_local = jax.lax.rsqrt(deg)
         # per-edge norm: d_j^-1/2 * d_i^-1/2 (zero on padded edges)
-        norm = dinv_sqrt[g.senders] * dinv_sqrt[g.receivers]
+        norm = dinv_sqrt[g.senders] * dinv_local[g.receivers]
         norm = jnp.where(g.edge_mask, norm, 0.0).astype(dtype)
         # fused gather+aggregate; backward runs scatter-free over the
         # sender-sorted edge copy (norm is mask-derived, no gradient)
         out = segment.neighbor_sum(h, g, edge_weight=norm)
         # implicit self-loop: weight d_i^-1
-        out = out + h * (dinv_sqrt * dinv_sqrt)[:, None].astype(dtype)
+        out = out + h * (dinv_local * dinv_local)[:, None].astype(dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.out_features,))
@@ -127,22 +134,37 @@ class GATConv(nn.Module):
                              (1, H, C))
         att_dst = self.param("att_dst", nn.initializers.glorot_uniform(),
                              (1, H, C))
-        alpha_src = (h * att_src).sum(-1)  # (N, H)
-        alpha_dst = (h * att_dst).sum(-1)
 
-        logits = alpha_src[g.senders] + alpha_dst[g.receivers]  # (E, H)
+        hs = segment.halo_state()
+        if hs is not None:
+            # node-sharded: ONE all_to_all fetches the boundary rows of h;
+            # alpha_src for remote senders is re-derived from the extended
+            # table (it is a function of h), so no second exchange is needed.
+            # Edges are partitioned by destination block, so every edge of a
+            # receiver is local and the softmax needs no collective.
+            h_ext = segment.halo_extend(h.reshape(-1, H * C)).reshape(-1, H, C)
+            alpha_src_ext = (h_ext * att_src).sum(-1)
+            alpha_src = alpha_src_ext[:hs.n_local]
+            alpha_dst = (h * att_dst).sum(-1)
+            logits = alpha_src_ext[g.senders] + alpha_dst[g.receivers]
+        else:
+            h_ext = None
+            alpha_src = (h * att_src).sum(-1)  # (N, H)
+            alpha_dst = (h * att_dst).sum(-1)
+            logits = alpha_src[g.senders] + alpha_dst[g.receivers]  # (E, H)
         logits = nn.leaky_relu(logits, self.negative_slope)
         self_logits = nn.leaky_relu(alpha_src + alpha_dst, self.negative_slope)
         w_edge, w_self = segment.segment_softmax(
-            logits, g.receivers, g.n_node_pad, mask=g.edge_mask,
-            indices_are_sorted=True, extra_logits=self_logits)
+            logits, g.receivers, g.n_node_pad if hs is None else hs.n_local,
+            mask=g.edge_mask, indices_are_sorted=True,
+            extra_logits=self_logits)
 
-        msgs = segment.gather(h.reshape(-1, H * C), g.senders,
-                              g.senders_perm, g.senders_sorted)
-        msgs = msgs.reshape(-1, H, C) * w_edge[..., None]
-        out = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
-                                  indices_are_sorted=True)
-        out = out + h * w_self[..., None]
+        # attention-weighted aggregation, differentiable in features AND
+        # weights, scatter-free fwd+bwd (ops/segment.py neighbor_sum_attn);
+        # in halo mode the pre-extended table is aggregated locally
+        agg_in = h.reshape(-1, H * C) if h_ext is None else h_ext.reshape(-1, H * C)
+        out = segment.neighbor_sum_attn(agg_in, g, w_edge)
+        out = out.reshape(-1, H, C) + h * w_self[..., None]
         out = out.reshape(-1, H * C)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (H * C,))
@@ -176,11 +198,12 @@ class GINEConv(nn.Module):
     @nn.compact
     def __call__(self, g: GraphBatch, x: Array, edge_attr: Array,
                  train: bool = False) -> Array:
-        msgs = nn.relu(segment.gather(x, g.senders, g.senders_perm,
-                                      g.senders_sorted) + edge_attr)
+        msgs = nn.relu(segment.sender_gather(x, g) + edge_attr)
         msgs = jnp.where(g.edge_mask[:, None], msgs, 0.0)
-        agg = segment.segment_sum(msgs, g.receivers, g.n_node_pad,
-                                  indices_are_sorted=True)
+        hs = segment.halo_state()
+        agg = segment.segment_sum(
+            msgs, g.receivers, g.n_node_pad if hs is None else hs.n_local,
+            indices_are_sorted=True)
         return self.update((1.0 + self.eps) * x + agg,
                            mask=g.node_mask, train=train)
 

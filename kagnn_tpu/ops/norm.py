@@ -48,15 +48,27 @@ class MaskedBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # under halo_mode the node rows are sharded across a mesh axis:
+            # batch statistics are psum'd so every shard normalizes with the
+            # GLOBAL mean/var (sync-BN; exact parity with the unsharded math)
+            from kagnn_tpu.ops import segment as _segment
+            ax = _segment.node_stats_axis()
+
             if mask is None:
-                n = jnp.asarray(x.shape[0], jnp.float32)
-                mean = xf.mean(axis=0)
-                var = ((xf - mean) ** 2).mean(axis=0)
+                m = jnp.ones((x.shape[0], 1), jnp.float32)
             else:
                 m = mask.astype(jnp.float32)[:, None]
-                n = jnp.maximum(m.sum(), 1.0)
-                mean = (xf * m).sum(axis=0) / n
-                var = (((xf - mean) ** 2) * m).sum(axis=0) / n
+            n = m.sum()
+            s = (xf * m).sum(axis=0)
+            if ax is not None:
+                n = jax.lax.psum(n, ax)
+                s = jax.lax.psum(s, ax)
+            n = jnp.maximum(n, 1.0)
+            mean = s / n
+            sq = (((xf - mean) ** 2) * m).sum(axis=0)
+            if ax is not None:
+                sq = jax.lax.psum(sq, ax)
+            var = sq / n
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean

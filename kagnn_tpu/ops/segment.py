@@ -43,6 +43,84 @@ def _current_axis() -> str | None:
     return getattr(_STATE, "axis", None)
 
 
+# --- halo-exchange node partition --------------------------------------------
+# The scalable alternative to `edge_axis` (which psums the FULL (N, F) node
+# array per reduction): nodes are sharded into contiguous blocks, edges are
+# partitioned by DESTINATION block, and each segment reduction gathers only
+# the boundary sender rows from their owner shards via one `all_to_all`
+# (comm volume ∝ boundary nodes, not N — SURVEY.md §2.4 N9 / §7.8). Entering
+# `halo_mode(state)` inside `shard_map` makes `neighbor_sum`,
+# `sender_gather` and the conv layers run the exchange + local aggregation;
+# the plan arrays come from `kagnn_tpu.dist.halo.build_halo_plan`.
+
+import dataclasses as _dc
+from typing import Optional as _Opt
+
+
+@_dc.dataclass(frozen=True)
+class HaloState:
+    """Per-device (inside-shard_map) halo-exchange arrays.
+
+    All index arrays are the device-local slices of the stacked HaloPlan
+    (leading device axis consumed by shard_map's in_specs).
+    """
+
+    axis: str                     # mesh axis name node blocks are sharded over
+    n_local: int                  # B — rows per node shard
+    send_idx: Array               # (D, H) int32: local rows to send to peer p
+    send_mask: Array              # (D, H) bool
+    dinv_ext: _Opt[Array] = None  # (B + D*H,) f32 — D^-1/2(deg+1), ext space
+    # optional internal/halo edge split (overlap of comm with local compute)
+    s_int: _Opt[Array] = None     # (Ei,) int32 local sender rows
+    r_int: _Opt[Array] = None     # (Ei,) int32 local receiver rows (sorted)
+    int_sel: _Opt[Array] = None   # (Ei,) int32 index into the full edge list
+    int_mask: _Opt[Array] = None  # (Ei,) bool
+    s_halo: _Opt[Array] = None    # (Eh,) int32 rows into recv_flat (D*H)
+    r_halo: _Opt[Array] = None    # (Eh,) int32 local receiver rows (sorted)
+    halo_sel: _Opt[Array] = None  # (Eh,) int32 index into the full edge list
+    halo_mask: _Opt[Array] = None # (Eh,) bool
+
+
+@contextlib.contextmanager
+def halo_mode(state: "HaloState"):
+    prev = getattr(_STATE, "halo", None)
+    _STATE.halo = state
+    try:
+        yield
+    finally:
+        _STATE.halo = prev
+
+
+def halo_state() -> "HaloState | None":
+    return getattr(_STATE, "halo", None)
+
+
+def node_stats_axis() -> str | None:
+    """Mesh axis node rows are sharded over (for cross-shard batch-norm /
+    loss statistics), or None outside halo mode."""
+    hs = halo_state()
+    return hs.axis if hs is not None else None
+
+
+def halo_exchange(x: Array) -> Array:
+    """Exchange boundary rows of the local node shard `x` (B, F): returns
+    recv_flat (D*H, F) where row p*H + j is peer p's j-th boundary row for
+    this device. One all_to_all over ICI; volume = D*H*F per device."""
+    hs = halo_state()
+    send = jnp.take(x, hs.send_idx.reshape(-1), axis=0)
+    send = send.reshape(hs.send_idx.shape + x.shape[1:])
+    send = jnp.where(
+        hs.send_mask.reshape(hs.send_mask.shape + (1,) * (x.ndim - 1)),
+        send, 0)
+    recv = jax.lax.all_to_all(send, hs.axis, split_axis=0, concat_axis=0)
+    return recv.reshape((-1,) + x.shape[1:])
+
+
+def halo_extend(x: Array) -> Array:
+    """Local shard (B, F) -> extended table (B + D*H, F) = [local; halo]."""
+    return jnp.concatenate([x, halo_exchange(x)], axis=0)
+
+
 @contextlib.contextmanager
 def use_pallas_spmm(enabled: bool | None = True, interpret: bool = False):
     """Control routing of sorted segment-sums through the Pallas
@@ -250,6 +328,92 @@ def _ns_bwd(num_segments, interpret, res, cot):
 _neighbor_sum_sorted.defvjp(_ns_fwd, _ns_bwd)
 
 
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _neighbor_sum_attn(x, w, senders, receivers, senders_perm, senders_sorted,
+                       num_segments, heads, interpret):
+    e = senders.shape[0]
+    msgs = jnp.take(x, senders, axis=0)
+    msgs = (msgs.reshape(e, heads, -1) * w[:, :, None]).reshape(e, -1)
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+    return sorted_segment_sum(msgs, receivers, num_segments, interpret)
+
+
+def _nsa_fwd(x, w, senders, receivers, senders_perm, senders_sorted,
+             num_segments, heads, interpret):
+    out = _neighbor_sum_attn(x, w, senders, receivers, senders_perm,
+                             senders_sorted, num_segments, heads, interpret)
+    return out, (x, w, senders, receivers, senders_perm, senders_sorted)
+
+
+def _nsa_bwd(num_segments, heads, interpret, res, cot):
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+    x, w, senders, receivers, perm, senders_sorted = res
+    e = senders.shape[0]
+    # dw_e = <cot[recv_e], x[send_e]> per head: one sorted gather of the
+    # cotangent (receivers ascending -> sequential-ish) + one random gather
+    cot_recv = jnp.take(cot, receivers, axis=0)
+    xs = jnp.take(x, senders, axis=0)
+    dw = jnp.sum(cot_recv.reshape(e, heads, -1) * xs.reshape(e, heads, -1),
+                 axis=2).astype(w.dtype)
+    # dx = A^T(w) @ cot over the SENDER-sorted edge copy: gather + one more
+    # sorted-segment-sum — no scatter anywhere in the gradient path
+    recv_by_sender = jnp.take(receivers, perm)
+    cot_e = jnp.take(cot, recv_by_sender, axis=0)
+    w_p = jnp.take(w, perm, axis=0)
+    cot_e = (cot_e.reshape(e, heads, -1) * w_p[:, :, None]).reshape(e, -1)
+    dx = sorted_segment_sum(cot_e, senders_sorted, x.shape[0], interpret)
+    return dx.astype(x.dtype), dw, None, None, None, None
+
+
+_neighbor_sum_attn.defvjp(_nsa_fwd, _nsa_bwd)
+
+
+def neighbor_sum_attn(x: Array, g, edge_weight: Array) -> Array:
+    """out_i = sum over edges e with receiver i of w_e[h] * x[sender_e]
+    — the attention-weighted aggregation of GAT, differentiable in BOTH
+    `x` (N, H*C) and `edge_weight` (E, H), with a scatter-free backward
+    (dw via gathers; dx via the sender-sorted segment-sum kernel).
+
+    Replaces PyG's propagate-with-attention scatter path (reference
+    node_classification_clean/models.py:39-46 -> GATConv CUDA kernels).
+    Falls back to gather + segment_sum (XLA AD) off-TPU.
+    """
+    heads = edge_weight.shape[1] if edge_weight.ndim == 2 else 1
+    w2 = edge_weight if edge_weight.ndim == 2 else edge_weight[:, None]
+    hs = halo_state()
+    if hs is not None:
+        # x is the EXTENDED table here (GATConv exchanges once for logits +
+        # aggregation); aggregate locally into the node shard
+        e = g.senders.shape[0]
+        msgs = jnp.take(x, g.senders, axis=0)
+        msgs = (msgs.reshape(e, heads, -1) * w2[:, :, None]).reshape(e, -1)
+        return segment_sum(msgs, g.receivers, hs.n_local,
+                           indices_are_sorted=True)
+    eligible = (x.ndim == 2 and x.dtype in (jnp.float32, jnp.bfloat16)
+                and _current_axis() is None
+                and getattr(g, "senders_perm", None) is not None
+                and g.senders_sorted is not None
+                and x.shape[1] % heads == 0)
+    spmm = _spmm_mode()
+    if spmm is None:
+        route = eligible and x.shape[1] >= 64 and _on_tpu()
+        interpret = False
+    else:
+        route = eligible and bool(spmm[0])
+        interpret = spmm[1]
+    if route:
+        return _neighbor_sum_attn(x, w2, g.senders, g.receivers,
+                                  g.senders_perm, g.senders_sorted,
+                                  g.n_node_pad, heads, interpret)
+    e = g.senders.shape[0]
+    msgs = jnp.take(x, g.senders, axis=0)
+    msgs = (msgs.reshape(e, heads, -1) * w2[:, :, None]).reshape(e, -1)
+    return segment_sum(msgs, g.receivers, g.n_node_pad,
+                       indices_are_sorted=True)
+
+
 def neighbor_sum(x: Array, g, edge_weight: Array | None = None) -> Array:
     """out_i = sum over edges e with receiver i of w_e * x[sender_e] — the
     fused gather+aggregate (SpMM with A as the weighted adjacency).
@@ -260,7 +424,15 @@ def neighbor_sum(x: Array, g, edge_weight: Array | None = None) -> Array:
     gradient path. `edge_weight` is treated as non-differentiable (GCN norms
     are functions of the masks only; attention weights must NOT use this op).
     Falls back to gather + segment_sum elsewhere.
+
+    Under `halo_mode` (node-sharded shard_map), senders index the extended
+    [local; halo] table: boundary rows are fetched with one all_to_all and,
+    when the plan pre-split the edges, the internal segment-sum is issued
+    independently of the collective so XLA can overlap them.
     """
+    hs = halo_state()
+    if hs is not None:
+        return _halo_neighbor_sum(x, g, edge_weight, hs)
     eligible = (x.ndim == 2 and x.dtype in (jnp.float32, jnp.bfloat16)
                 and _current_axis() is None
                 and getattr(g, "senders_perm", None) is not None
@@ -284,6 +456,27 @@ def neighbor_sum(x: Array, g, edge_weight: Array | None = None) -> Array:
                        indices_are_sorted=True)
 
 
+def _halo_neighbor_sum(x: Array, g, edge_weight: Array | None,
+                       hs: HaloState) -> Array:
+    """Node-sharded neighbor sum: all_to_all boundary rows + local
+    segment-sums. With the pre-split plan the internal sum has no data
+    dependency on the collective (comm/compute overlap)."""
+    B = hs.n_local
+    w = edge_weight if edge_weight is not None else g.edge_mask.astype(x.dtype)
+    if hs.s_int is not None:
+        w_int = jnp.take(w, hs.int_sel) * hs.int_mask.astype(w.dtype)
+        msgs_int = jnp.take(x, hs.s_int, axis=0) * w_int[:, None]
+        out = segment_sum(msgs_int, hs.r_int, B, indices_are_sorted=True)
+        recv = halo_exchange(x)
+        w_h = jnp.take(w, hs.halo_sel) * hs.halo_mask.astype(w.dtype)
+        msgs_h = jnp.take(recv, hs.s_halo, axis=0) * w_h[:, None]
+        return out + segment_sum(msgs_h, hs.r_halo, B,
+                                 indices_are_sorted=True)
+    ext = halo_extend(x)
+    msgs = jnp.take(ext, g.senders, axis=0) * w[:, None]
+    return segment_sum(msgs, g.receivers, B, indices_are_sorted=True)
+
+
 def gather(x: Array, indices: Array, sort_perm: Array | None = None,
            sorted_indices: Array | None = None) -> Array:
     """Row gather `x[indices]`.
@@ -303,7 +496,18 @@ def gather(x: Array, indices: Array, sort_perm: Array | None = None,
     spmm = _spmm_mode()
     if spmm is not None and spmm[0] and x.ndim == 2 \
             and x.dtype == jnp.float32 and _current_axis() is None \
+            and halo_state() is None \
             and sort_perm is not None and sorted_indices is not None:
         return _sorted_bwd_gather(x, indices, sort_perm, sorted_indices,
                                   spmm[1])
     return jnp.take(x, indices, axis=0)
+
+
+def sender_gather(x: Array, g) -> Array:
+    """x[g.senders] — per-edge sender-feature gather. Under `halo_mode`,
+    senders index the extended [local; halo] table, so the boundary rows are
+    fetched with one all_to_all first."""
+    if halo_state() is not None:
+        return jnp.take(halo_extend(x), g.senders, axis=0)
+    return gather(x, g.senders, getattr(g, "senders_perm", None),
+                  getattr(g, "senders_sorted", None))

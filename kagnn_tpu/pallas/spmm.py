@@ -3,15 +3,25 @@
 XLA lowers scatter-add on TPU to a slow serialized form (measured ~18 ms for
 1.17M x 64 at arxiv scale, ~25x off HBM speed-of-light). This kernel exploits
 the framework's invariant that edges are SORTED BY RECEIVER (established by
-the batchers): the edges of each 128-row output block are contiguous, so the
-kernel
+the batchers): the edges of each 128-row output block are contiguous.
 
-  * prefetches per-row-block edge offsets (scalar prefetch),
-  * streams aligned (TILE_E, D) message chunks HBM -> VMEM with double
-    buffering,
-  * accumulates each chunk with a one-hot (128, TILE_E) x (TILE_E, D) MXU
-    matmul — receivers outside the block simply match no row, which also
-    makes chunk overlap at block boundaries self-masking.
+v2 design (fixes the two round-1 bottlenecks measured in PERFORMANCE.md):
+
+  * GROUPED grid: each grid step owns G_BLOCKS=8 receiver blocks (1024 output
+    rows) and streams ALL their edge chunks through one double-buffered DMA
+    pipeline, so the per-DMA latency (~2 us) is amortized over ~14 chunks
+    instead of stalling every 128-row block (round-1 kernel: 6.2 us/block,
+    latency-bound at 73 GB/s).
+  * LANE PACKING: messages with <=64 features are reinterpreted as
+    (E/2, 128) — two edges per 128-lane row (a free contiguous reshape) —
+    halving HBM traffic vs the round-1 kernel's 64->128 zero-padding. The
+    one-hot accumulation then uses two MXU matmuls per chunk (even-edge and
+    odd-edge indicators) whose valid lane halves are folded at group end;
+    total MXU FLOPs are unchanged.
+  * Accumulation per sub-block happens in a VMEM scratch accumulator with
+    per-(chunk, sub-block) overlap predication, so chunks spanning block
+    boundaries are self-masking exactly as in v1 (receivers outside a
+    sub-block match no indicator row).
 
 No scatter anywhere. The backward of segment-sum is a plain gather
 (cot[receivers]), which XLA handles well, so the custom VJP uses jnp.take.
@@ -29,61 +39,95 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-ROWS_PER_BLOCK = 128
-TILE_E = 512
+ROWS_PER_BLOCK = 128   # output rows covered by one indicator matmul
+G_BLOCKS = 8           # receiver blocks per grid step (group)
+CHUNK_ROWS = 256       # packed message rows per DMA chunk
 
 
-def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, scratch, sems,
-            *, n_chunk_rows: int, d: int):
-    i = pl.program_id(0)
-    start = offsets_ref[i]
-    end = offsets_ref[i + 1]
-    c0 = start // TILE_E
-    c1 = jax.lax.select(end > start, (end - 1) // TILE_E + 1, c0)
-    row_base = i * ROWS_PER_BLOCK
-    row_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (ROWS_PER_BLOCK, TILE_E), 0) + row_base
+def _acc_dots(onehot, m, acc):
+    """acc += onehot @ m with bf16 MXU passes (hi/lo split for f32 msgs)."""
+    dn = (((1,), (0,)), ((), ()))
+    if m.dtype == jnp.bfloat16:
+        return acc + jax.lax.dot_general(
+            onehot, m, dn, preferred_element_type=jnp.float32)
+    # f32 messages, bf16 hi/lo split: the one-hot side is exact in bf16;
+    # splitting the messages into bf16 hi + residual lo recovers ~f32
+    # fidelity with two default-speed MXU passes.
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (acc
+            + jax.lax.dot_general(onehot, hi, dn,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(onehot, lo, dn,
+                                  preferred_element_type=jnp.float32))
+
+
+def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, acc_ref, scratch, sems,
+            *, d_eff: int, pack: int, g_blocks: int, chunk_rows: int,
+            dma_slots: int, out_dtype):
+    CHUNK_ROWS = chunk_rows
+    g = pl.program_id(0)
+    epc = CHUNK_ROWS * pack  # edges per chunk
+    start = offsets_ref[g * g_blocks]
+    end = offsets_ref[g * g_blocks + g_blocks]
+    c0 = start // epc
+    c1 = jax.lax.select(end > start, (end - 1) // epc + 1, c0)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            msgs_hbm.at[pl.ds(c * TILE_E, TILE_E), :],
+            msgs_hbm.at[pl.ds(c * CHUNK_ROWS, CHUNK_ROWS), :],
             scratch.at[slot], sems.at[slot])
 
-    @pl.when(c1 > c0)
-    def _():
-        get_dma(0, c0).start()
+    # prime the pipeline: up to dma_slots-1 chunks in flight ahead of compute
+    for k in range(dma_slots - 1):
+        @pl.when(c0 + k < c1)
+        def _(k=k):
+            get_dma(k, c0 + k).start()
 
-    def body(c, acc):
-        slot = (c - c0) % 2
+    # per-sub-block row-id planes for the indicator compare, built once
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (ROWS_PER_BLOCK, CHUNK_ROWS), 0)
 
-        @pl.when(c + 1 < c1)
+    def body(c, _):
+        slot = (c - c0) % dma_slots
+
+        @pl.when(c + dma_slots - 1 < c1)
         def _():
-            get_dma((c - c0 + 1) % 2, c + 1).start()
+            get_dma((c - c0 + dma_slots - 1) % dma_slots,
+                    c + dma_slots - 1).start()
 
         get_dma(slot, c).wait()
-        recv = recv_ref[c, :][None, :]  # (1, TILE_E) int32
-        onehot = (recv == row_ids).astype(jnp.bfloat16)  # (R, TILE_E), exact
-        m = scratch[slot]
-        dn = (((1,), (0,)), ((), ()))
-        if m.dtype == jnp.bfloat16:
-            # bf16 messages: one default-speed pass, exact product
-            return acc + jax.lax.dot_general(
-                onehot, m, dn, preferred_element_type=jnp.float32)
-        # f32 messages, bf16 hi/lo split: the one-hot side is exact in bf16;
-        # splitting the messages into bf16 hi + residual lo recovers ~f32
-        # fidelity with two default-speed MXU passes (measured 7.3ms vs 8.3ms
-        # for the 6-pass HIGHEST f32 matmul, same ~2e-4 error scale).
-        hi = m.astype(jnp.bfloat16)
-        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (acc
-                + jax.lax.dot_general(onehot, hi, dn,
-                                      preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(onehot, lo, dn,
-                                      preferred_element_type=jnp.float32))
+        m = scratch[slot]  # (CHUNK_ROWS, d_eff*pack... lanes)
+        ch_lo = c * epc
+        ch_hi = ch_lo + epc
+        for sb in range(g_blocks):
+            b = g * g_blocks + sb
+            b_start = offsets_ref[b]
+            b_end = offsets_ref[b + 1]
 
-    acc = jnp.zeros((ROWS_PER_BLOCK, d), jnp.float32)
-    acc = jax.lax.fori_loop(c0, c1, body, acc)
-    out_ref[...] = acc.astype(out_ref.dtype)
+            @pl.when((ch_lo < b_end) & (ch_hi > b_start))
+            def _():
+                base = b * ROWS_PER_BLOCK
+                ids = row_ids + base
+                for p in range(pack):
+                    recv = recv_ref[c, p, :][None, :]  # (1, CHUNK_ROWS)
+                    onehot = (recv == ids).astype(jnp.bfloat16)
+                    acc_ref[sb, p] = _acc_dots(onehot, m, acc_ref[sb, p])
+
+        return 0
+
+    jax.lax.fori_loop(c0, c1, body, 0)
+
+    # fold the packed lane halves and emit the group's output rows
+    for sb in range(g_blocks):
+        if pack == 2:
+            out = acc_ref[sb, 0][:, :d_eff] + acc_ref[sb, 1][:, d_eff:]
+        else:
+            out = acc_ref[sb, 0]
+        out_ref[sb * ROWS_PER_BLOCK:(sb + 1) * ROWS_PER_BLOCK, :] = (
+            out.astype(out_dtype))
 
 
 def _pad_to(x: Array, m: int, axis: int = 0, fill=0):
@@ -103,50 +147,74 @@ def sorted_segment_sum(msgs: Array, receivers: Array, num_segments: int,
     return _fwd_impl(msgs, receivers, num_segments, interpret)
 
 
-def _fwd_impl(msgs, receivers, num_segments, interpret):
+def _fwd_impl(msgs, receivers, num_segments, interpret, *,
+              chunk_rows: int | None = None, g_blocks: int | None = None,
+              pack: int | None = None, dma_slots: int = 2):
+    CHUNK_ROWS = chunk_rows if chunk_rows is not None else globals()["CHUNK_ROWS"]
+    G_BLOCKS = g_blocks if g_blocks is not None else globals()["G_BLOCKS"]
     e, d_orig = msgs.shape
-    # HBM DMA slices must be lane-aligned: pad the feature dim to 128
-    msgs = _pad_to(msgs, 128, axis=1)
-    d = msgs.shape[1]
-    msgs_p = _pad_to(msgs, TILE_E)
+    # lane packing: two <=64-wide edge rows share one 128-lane register row
+    # (free contiguous reshape); wider rows pad to a 128-lane multiple
+    if pack is None:
+        pack = 2 if d_orig <= 64 else 1
+    if pack == 2 and d_orig <= 64:
+        d_eff = 64
+    else:
+        pack, d_eff = 1, -(-d_orig // 128) * 128
+    msgs = _pad_to(msgs, d_eff, axis=1)
+    epc = CHUNK_ROWS * pack
+    msgs_p = _pad_to(msgs, epc)
     # padded edges get an out-of-range receiver so they match no row
-    recv_p = _pad_to(receivers.astype(jnp.int32), TILE_E,
+    recv_p = _pad_to(receivers.astype(jnp.int32), epc,
                      fill=jnp.iinfo(jnp.int32).max)
     ep = msgs_p.shape[0]
+    n_chunks = ep // epc
+    msgs_packed = msgs_p.reshape(ep // pack, d_eff * pack)
+    # recv_packed[c, p, r] = receiver of edge (c*epc + r*pack + p)
+    recv_packed = recv_p.reshape(n_chunks, CHUNK_ROWS, pack).transpose(0, 2, 1)
+
     n_blocks = -(-num_segments // ROWS_PER_BLOCK)
-    rows_out = n_blocks * ROWS_PER_BLOCK
+    n_groups = -(-n_blocks // G_BLOCKS)
+    n_blocks_pad = n_groups * G_BLOCKS
+    rows_out = n_blocks_pad * ROWS_PER_BLOCK
     # per-block first-edge offsets from the sorted receiver vector
     block_starts = jnp.searchsorted(
-        receivers, jnp.arange(n_blocks, dtype=jnp.int32) * ROWS_PER_BLOCK
+        receivers, jnp.arange(n_blocks_pad, dtype=jnp.int32) * ROWS_PER_BLOCK
     ).astype(jnp.int32)
     offsets = jnp.concatenate(
         [block_starts, jnp.asarray([e], jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_blocks,),
+        grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((ep // TILE_E, TILE_E), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),  # receivers, chunked rows
+            pl.BlockSpec((n_chunks, pack, CHUNK_ROWS), lambda g, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),  # receivers, chunked
             pl.BlockSpec(memory_space=pl.ANY),  # msgs stay in HBM
         ],
-        out_specs=pl.BlockSpec((ROWS_PER_BLOCK, d), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, d_eff),
+                               lambda g, *_: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, TILE_E, d), msgs.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((G_BLOCKS, pack, ROWS_PER_BLOCK, d_eff * pack),
+                       jnp.float32),
+            pltpu.VMEM((dma_slots, CHUNK_ROWS, d_eff * pack), msgs.dtype),
+            pltpu.SemaphoreType.DMA((dma_slots,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, n_chunk_rows=ep // TILE_E, d=d),
+        functools.partial(_kernel, d_eff=d_eff, pack=pack,
+                          g_blocks=G_BLOCKS, chunk_rows=CHUNK_ROWS,
+                          dma_slots=dma_slots, out_dtype=msgs.dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows_out, d), msgs.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_out, d_eff), msgs.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ep * ROWS_PER_BLOCK * d,
-            bytes_accessed=4 * (ep * d + rows_out * d + ep),
+            flops=2 * ep * ROWS_PER_BLOCK * d_eff * pack,
+            bytes_accessed=msgs.dtype.itemsize * (ep * d_eff + rows_out * d_eff)
+            + 4 * ep,
             transcendentals=0),
         interpret=interpret,
-    )(offsets, recv_p.reshape(ep // TILE_E, TILE_E), msgs_p)
+    )(offsets, recv_packed, msgs_packed)
     return out[:num_segments, :d_orig]
 
 

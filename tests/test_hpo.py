@@ -55,3 +55,31 @@ def test_maximize_direction():
     s = create_study(direction="maximize", sampler=TPESampler(seed=0))
     s.optimize(obj, n_trials=50)
     assert abs(s.best_params["x"] - 0.5) < 0.2
+
+
+def test_tpe_beats_random_on_quadratic():
+    """TPE quality gate (VERDICT round-1 item 9): on a seeded 2-D quadratic
+    with the reference's search-space shapes (log lr + int width), TPE's
+    best-of-50 must beat random's best-of-50 in >= 8/10 seeds."""
+    from kagnn_tpu.train.hpo import RandomSampler, TPESampler, create_study
+
+    def make_objective():
+        def objective(trial):
+            lr = trial.suggest_float("lr", 1e-5, 1e-2, log=True)
+            hidden = trial.suggest_int("hidden", 2, 128)
+            drop = trial.suggest_float("dropout", 0.0, 0.9)
+            # smooth bowl with optimum at lr=1e-3, hidden=64, dropout=0.3
+            return ((np.log10(lr) + 3.0) ** 2
+                    + ((hidden - 64) / 64.0) ** 2
+                    + (drop - 0.3) ** 2)
+        return objective
+
+    wins = 0
+    for seed in range(10):
+        s_tpe = create_study(sampler=TPESampler(seed=seed))
+        s_tpe.optimize(make_objective(), n_trials=50)
+        s_rnd = create_study(sampler=RandomSampler(seed=seed))
+        s_rnd.optimize(make_objective(), n_trials=50)
+        if s_tpe.best_value < s_rnd.best_value:
+            wins += 1
+    assert wins >= 8, f"TPE won only {wins}/10 seeds against random search"

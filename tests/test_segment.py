@@ -65,3 +65,75 @@ def test_segment_softmax_with_self_logit(rng):
         expect = np.exp(all_logits - all_logits.max())
         expect /= expect.sum()
         np.testing.assert_allclose(w_s[s], expect[-1], rtol=1e-4)
+
+
+def _random_sorted_graph(rng, n=40, e=120):
+    from kagnn_tpu.graphs import single_graph
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    nodes = rng.normal(size=(n, 8)).astype(np.float32)
+    return single_graph(senders, receivers, nodes=nodes,
+                        node_pad_multiple=8, edge_pad_multiple=128)
+
+
+def test_neighbor_sum_attn_value_and_grads(rng):
+    """Value + dx + dw parity of the scatter-free attention aggregation
+    (fallback path and the Pallas-routed custom-VJP path, interpret mode)
+    against plain XLA autodiff."""
+    import jax
+
+    g = _random_sorted_graph(rng)
+    heads, c = 2, 64
+    x = jnp.asarray(rng.normal(size=(g.n_node_pad, heads * c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(g.n_edge_pad, heads)), jnp.float32)
+    w = w * g.edge_mask[:, None]
+
+    def ref_loss(x, w):
+        e = g.senders.shape[0]
+        msgs = jnp.take(x, g.senders, axis=0)
+        msgs = (msgs.reshape(e, heads, -1) * w[:, :, None]).reshape(e, -1)
+        out = jax.ops.segment_sum(msgs, g.receivers,
+                                  num_segments=g.n_node_pad)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    def attn_loss(x, w):
+        out = segment.neighbor_sum_attn(x, g, w)
+        return jnp.sum(out * jnp.cos(out)), out
+
+    (lr, outr), (dxr, dwr) = jax.value_and_grad(ref_loss, (0, 1),
+                                                has_aux=True)(x, w)
+    for mode_kw in ({"enabled": False}, {"enabled": True, "interpret": True}):
+        with segment.use_pallas_spmm(**mode_kw):
+            (l2, out2), (dx2, dw2) = jax.value_and_grad(
+                attn_loss, (0, 1), has_aux=True)(x, w)
+        # hi/lo-split bf16 MXU passes carry ~1e-3-scale absolute error
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(outr),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dx2), np.asarray(dxr),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(dw2), np.asarray(dwr),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_gat_conv_grads_match_fallback(rng):
+    """GATConv end-to-end gradients identical between the routed
+    (interpret-mode kernel) and fallback aggregation paths."""
+    import jax
+    from kagnn_tpu.nn.convs import GATConv
+
+    g = _random_sorted_graph(rng)
+    model = GATConv(in_features=8, out_features=32, heads=2)
+    params = model.init({"params": jax.random.key(0)}, g, g.nodes)
+
+    def loss(p):
+        return jnp.sum(jnp.tanh(model.apply(p, g, g.nodes)))
+
+    with segment.use_pallas_spmm(False):
+        l0, g0 = jax.value_and_grad(loss)(params)
+    with segment.use_pallas_spmm(True, interpret=True):
+        l1, g1 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
