@@ -1,14 +1,19 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Metric: training-step throughput (edges/s/chip) of the flagship KAGIN node
-model on an ogbn-arxiv-scale synthetic graph (same node/edge counts as the
-reference's timing target, node_classification_clean/time_model.py:25-26,
-:35-48 — the reference times 20-epoch wall clock; here jitted full-graph
-train steps are timed directly).
+Headline metric: training-step throughput (edges/s/chip) of the flagship
+KAGIN node model on an ogbn-arxiv-scale synthetic graph (same node/edge
+counts as the reference's timing target,
+node_classification_clean/time_model.py:25-26, :35-48 — the reference times
+20-epoch wall clock; here jitted full-graph train steps are timed directly).
 
 vs_baseline compares the current best compute path against the naive unfused
 XLA path measured in the same way (>= 1.0 means the fused/optimized path
 wins).
+
+Secondary rows (in "detail"): GCN/KAN and GAT/FastKAN node paths, the
+RCM-reordered flagship, and the padded-minibatch graph-classification path
+through the native C++ batch assembler + host prefetch — so regressions in
+non-flagship paths stay visible (VERDICT round-1 item 7).
 
 Measurement discipline (the TPU here is behind the axon tunnel relay, which
 has two observed failure modes):
@@ -30,8 +35,7 @@ import sys
 import time
 
 
-def _measure_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
-    """Runs inside a fresh subprocess: time one compute path."""
+def _common_setup():
     import jax
 
     try:
@@ -41,6 +45,22 @@ def _measure_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
     except Exception:
         pass
 
+
+NODE_PATHS = {
+    # name: (conv, arch, fused, bf16, reorder, force_xla_segment)
+    "xla": ("gin", "kan", False, False, False, True),
+    "pallas-fused": ("gin", "kan", True, False, False, False),
+    "pallas-fused-bf16": ("gin", "kan", True, True, False, False),
+    "kagin-bf16-reorder": ("gin", "kan", True, True, True, False),
+    "gcn-kan-bf16": ("gcn", "kan", True, True, False, False),
+    "gat-fastkan-bf16": ("gat", "fastkan", True, True, False, False),
+}
+
+
+def _measure_node_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
+    """Runs inside a fresh subprocess: time one full-graph train-step path."""
+    _common_setup()
+    import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -51,22 +71,23 @@ def _measure_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
     from kagnn_tpu.ops import segment
     from kagnn_tpu.train.loops import TrainState, make_node_steps
 
+    conv, arch, fused, bf16, reorder, force_xla = NODE_PATHS[path]
+
     d = arxiv_scale_graph(n_nodes=169_343, n_edges=1_166_243,
                           num_features=128, n_classes=40)
+    if reorder:
+        from kagnn_tpu.graphs.reorder import bfs_order, reorder_graph
+        d = reorder_graph(d, bfs_order)
     g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
                      y=d["y"], edge_pad_multiple=1024)
     mask = jnp.asarray(np.arange(g.n_node_pad) < int(d["n_node"]))
 
-    kw = dict(conv_type="gin", architecture="kan", mp_layers=3,
+    kw = dict(conv_type=conv, architecture=arch, mp_layers=3,
               num_features=128, hidden_channels=64, num_classes=40,
               grid_size=4, spline_order=3, skip=False, hidden_layers=2,
-              dropout=0.0)
-    if path == "xla":
-        model = NodeClassifier(fused=False, **kw)
-    elif path == "pallas-fused":
-        model = NodeClassifier(fused=True, **kw)
-    else:  # pallas-fused-bf16
-        model = NodeClassifier(fused=True, compute_dtype=jnp.bfloat16, **kw)
+              heads=4, dropout=0.0)
+    model = NodeClassifier(fused=fused,
+                           compute_dtype=jnp.bfloat16 if bf16 else None, **kw)
 
     # init on the host CPU backend (lstsq spline init would remote-compile),
     # with the unfused twin (same param tree; Pallas can't trace on CPU)
@@ -87,7 +108,7 @@ def _measure_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
                        step=jnp.zeros((), jnp.int32))
 
     step_fn, _ = make_node_steps(model, tx)
-    ctx = segment.use_pallas_spmm(False) if path == "xla" else _nullctx()
+    ctx = segment.use_pallas_spmm(False) if force_xla else _nullctx()
 
     # fresh-entropy perturbation: no process ever executes the same
     # (program, inputs) pair as any other process or iteration
@@ -120,6 +141,80 @@ def _measure_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
             "checksum": checksum}
 
 
+def _measure_graphcls(warmup: int = 1, iters: int = 5) -> dict:
+    """Padded-minibatch graph classification (KAGIN/kan) through the native
+    C++ batch assembler + host prefetch — the reference's DataLoader path
+    (graph_classification_utils.py:109-110) rebuilt TPU-side."""
+    _common_setup()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from kagnn_tpu.data.synthetic import random_molecule_graphs
+    from kagnn_tpu.graphs import pad_spec_for, single_graph
+    from kagnn_tpu.models import GraphClassifier
+    from kagnn_tpu.ops import segment
+    from kagnn_tpu.train.experiments import batch_loader
+    from kagnn_tpu.train.loops import TrainState, make_graph_cls_steps
+
+    graphs = random_molecule_graphs(n_graphs=2048, min_nodes=10,
+                                    max_nodes=40, seed=3)
+    feats = [jax.nn.one_hot(g["nodes"][:, 0], 21) for g in graphs]
+    for g, f in zip(graphs, feats):
+        g["nodes"] = np.asarray(f, np.float32)
+        g["edges"] = None
+    spec = pad_spec_for(graphs, 256)
+
+    model = GraphClassifier(conv_type="gin", architecture="kan",
+                            gnn_layers=3, num_features=21, hidden_dim=64,
+                            num_classes=2, hidden_layers=2, grid_size=4,
+                            spline_order=3, compute_dtype=jnp.bfloat16)
+
+    def intify(b):
+        return b.replace(y=b.y.astype(jnp.int32))
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    loader = batch_loader(graphs, spec, 256, shuffle=True, seed=0,
+                          postprocess=intify, native=None, prefetch=2)
+    example = next(batch_loader(graphs, spec, 256, postprocess=intify,
+                                native=None)())
+    with jax.default_device(cpu), segment.use_pallas_spmm(False):
+        variables = GraphClassifier(
+            conv_type="gin", architecture="kan", gnn_layers=3,
+            num_features=21, hidden_dim=64, num_classes=2, hidden_layers=2,
+            grid_size=4, spline_order=3).init(
+            {"params": jax.random.key(0)}, example)
+    dev = jax.devices()[0]
+    variables = jax.tree.map(lambda a: jax.device_put(a, dev), variables)
+    tx = optax.adam(1e-3)
+    state = TrainState(params=variables["params"],
+                       buffers=variables.get("buffers", {}),
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    train_step, _ = make_graph_cls_steps(model, tx)
+    key = jax.random.key(5)
+
+    n_graphs_epoch = (len(graphs) // 256) * 256
+    s = state
+    for _ in range(warmup):
+        for b in loader():
+            s, loss = train_step(s, b, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        for b in loader():
+            s, loss = train_step(s, b, key)
+    last = float(loss)
+    float(jax.tree_util.tree_leaves(s.params)[0].sum())
+    sec = (time.perf_counter() - t0) / iters
+    import numpy as np
+    return {"sec_per_epoch": sec, "graphs_per_s": n_graphs_epoch / sec,
+            "backend": jax.default_backend(),
+            "loss_finite": bool(np.isfinite(last))}
+
+
 class _nullctx:
     def __enter__(self):
         return self
@@ -141,34 +236,61 @@ def _run_subprocess(path: str) -> dict:
 
 def main():
     path = os.environ.get("KAGNN_BENCH_PATH")
+    if path == "graphcls-minibatch":
+        print(json.dumps(_measure_graphcls()))
+        return
     if path:
-        print(json.dumps(_measure_path(path)))
+        print(json.dumps(_measure_node_path(path)))
         return
 
-    paths = ["xla", "pallas-fused-bf16"]
+    # required paths (headline + baseline)
+    results = {p: _run_subprocess(p) for p in ["xla", "pallas-fused-bf16"]}
+    # secondary coverage rows: record errors without failing the headline
+    extra = ["gcn-kan-bf16", "gat-fastkan-bf16", "kagin-bf16-reorder",
+             "graphcls-minibatch"]
     if os.environ.get("KAGNN_BENCH_F32_FUSED"):
-        paths.append("pallas-fused")
-    results = {p: _run_subprocess(p) for p in paths}
+        extra.insert(0, "pallas-fused")
+    if os.environ.get("KAGNN_BENCH_FAST"):
+        extra = []
+    errors = {}
+    for p in extra:
+        try:
+            results[p] = _run_subprocess(p)
+        except Exception as e:  # keep the headline alive
+            errors[p] = str(e)[-300:]
+
     baseline = results["xla"]["sec_per_step"]
-    best_path = min(results, key=lambda p: results[p]["sec_per_step"])
-    best = results[best_path]["sec_per_step"]
-    n_edges = results[best_path]["n_edges"]
+    node_paths = [p for p in results if "sec_per_step" in results[p]]
+    flagship = min(("pallas-fused-bf16", "pallas-fused", "xla"),
+                   key=lambda p: results[p]["sec_per_step"]
+                   if p in results else float("inf"))
+    best = results[flagship]["sec_per_step"]
+    n_edges = results[flagship]["n_edges"]
+    detail = {
+        "best_path": flagship,
+        "sec_per_step_best": round(best, 5),
+        "sec_per_step_unfused_xla": round(baseline, 5),
+        **{f"sec_per_step_{p}": round(results[p]["sec_per_step"], 5)
+           for p in node_paths},
+        **{f"edges_per_s_{p}": round(n_edges / results[p]["sec_per_step"], 1)
+           for p in node_paths if p != "xla"},
+        "n_edges": n_edges,
+        "backend": results[flagship]["backend"],
+        "isolation": "one fresh subprocess per path, per-iteration "
+                     "input perturbation (tunnel-relay cache defeat)",
+    }
+    if "graphcls-minibatch" in results:
+        r = results["graphcls-minibatch"]
+        detail["graphcls_graphs_per_s"] = round(r["graphs_per_s"], 1)
+        detail["graphcls_sec_per_epoch"] = round(r["sec_per_epoch"], 5)
+    if errors:
+        detail["errors"] = errors
     print(json.dumps({
         "metric": "edges/s/chip (KAGIN train step, arxiv-scale)",
         "value": round(n_edges / best, 1),
         "unit": "edges/s",
         "vs_baseline": round(baseline / best, 4),
-        "detail": {
-            "best_path": best_path,
-            "sec_per_step_best": round(best, 5),
-            "sec_per_step_unfused_xla": round(baseline, 5),
-            **{f"sec_per_step_{p}": round(r["sec_per_step"], 5)
-               for p, r in results.items()},
-            "n_edges": n_edges,
-            "backend": results[best_path]["backend"],
-            "isolation": "one fresh subprocess per path, per-iteration "
-                         "input perturbation (tunnel-relay cache defeat)",
-        },
+        "detail": detail,
     }))
 
 

@@ -41,7 +41,17 @@ def main():
     p.add_argument("--n_outer_folds", type=int, default=10)
     p.add_argument("--data_root", default="datasets")
     p.add_argument("--fused", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision compute (f32 master weights)")
+    p.add_argument("--loader", default="auto",
+                   choices=["auto", "native", "python"],
+                   help="batch assembly: C++ assembler (data/native.py) or "
+                        "pure python")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches kept in flight on a background thread "
+                        "(0 = synchronous)")
     args = p.parse_args()
+    native = {"auto": None, "native": True, "python": False}[args.loader]
 
     from kagnn_tpu.data import fold_indices, load_graph_dataset, load_splits
     from kagnn_tpu.data.tu import LAYERS_PER_DATASET
@@ -90,21 +100,25 @@ def main():
             hidden_layers=params.get("hidden_layers", 2),
             grid_size=params.get("grid_size", 4),
             spline_order=params.get("spline_order", 3),
-            dropout=params["dropout"], heads=args.heads, fused=args.fused)
+            dropout=params["dropout"], heads=args.heads, fused=args.fused,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
         tx = optax.adam(params["lr"])
-        example = intify(next(batch_loader(tr, spec, args.batch_size)()))
+        example = intify(next(batch_loader(tr, spec, args.batch_size,
+                                           native=native)()))
         state, _ = create_train_state(model, jax.random.key(args.random_seed),
                                       example, tx)
         train_step, evaluate = make_graph_cls_steps(model, tx)
         res = train_graph_epochs(
             state, train_step, evaluate,
             batch_loader(tr, spec, args.batch_size, shuffle=True,
-                         seed=args.random_seed, postprocess=intify),
-            batch_loader(va, spec, args.batch_size, postprocess=intify),
+                         seed=args.random_seed, postprocess=intify,
+                         native=native, prefetch=args.prefetch),
+            batch_loader(va, spec, args.batch_size, postprocess=intify,
+                         native=native, prefetch=args.prefetch),
             epochs=args.epochs, patience=args.patience,
             key=jax.random.key(args.random_seed),
             test_batches=(batch_loader(te, spec, args.batch_size,
-                                       postprocess=intify)
+                                       postprocess=intify, native=native)
                           if with_test else None))
         n_params = sum(int(np.prod(np.shape(x)))
                        for x in jax.tree.leaves(state.params))

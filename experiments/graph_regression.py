@@ -45,7 +45,15 @@ def main():
     p.add_argument("--n_iterations", type=int, default=10)
     p.add_argument("--data_root", default="datasets")
     p.add_argument("--fused", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision compute (f32 master weights)")
+    p.add_argument("--loader", default="auto",
+                   choices=["auto", "native", "python"],
+                   help="batch assembly: C++ assembler or pure python")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches kept in flight (0 = synchronous)")
     args = p.parse_args()
+    native = {"auto": None, "native": True, "python": False}[args.loader]
 
     from kagnn_tpu.data import load_regression_dataset
     from kagnn_tpu.graphs import pad_spec_for
@@ -91,20 +99,25 @@ def main():
             grid_size=params.get("grid_size", 4),
             spline_order=params.get("spline_order", 3),
             dropout=params["dropout"],
-            ogb_encoders=args.dataset == "ZINC", fused=args.fused)
+            ogb_encoders=args.dataset == "ZINC", fused=args.fused,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None)
         tx = optax.adam(params["lr"])
-        example = next(batch_loader(train_g, spec, args.batch_size)())
+        example = next(batch_loader(train_g, spec, args.batch_size,
+                                    native=native)())
         state, _ = create_train_state(model, jax.random.key(args.random_seed),
                                       example, tx)
         train_step, evaluate = make_graph_reg_steps(model, tx)
         res = train_graph_epochs(
             state, train_step, evaluate,
             batch_loader(train_g, spec, args.batch_size, shuffle=True,
-                         seed=args.random_seed),
-            batch_loader(val_g, spec, args.batch_size),
+                         seed=args.random_seed, native=native,
+                         prefetch=args.prefetch),
+            batch_loader(val_g, spec, args.batch_size, native=native,
+                         prefetch=args.prefetch),
             epochs=args.epochs, patience=args.patience,
             key=jax.random.key(args.random_seed),
-            test_batches=(batch_loader(test_g, spec, args.batch_size)
+            test_batches=(batch_loader(test_g, spec, args.batch_size,
+                                       native=native)
                           if with_test else None),
             classification=False)
         n_params = sum(int(np.prod(np.shape(x)))

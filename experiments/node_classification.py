@@ -41,7 +41,19 @@ def main():
                    help="use fused Pallas KAN kernels")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 mixed-precision compute")
+    p.add_argument("--reorder", default="none",
+                   choices=["none", "rcm", "degree"],
+                   help="renumber nodes for gather locality "
+                        "(graphs/reorder.py)")
+    p.add_argument("--sampling", default=None,
+                   help="comma-separated per-hop fanouts, e.g. 10,5 — train "
+                        "on GraphSAGE-style sampled mini-batches instead of "
+                        "full batch (for ogbn-arxiv scale)")
+    p.add_argument("--sampling_batch", type=int, default=512,
+                   help="seed-node batch size when --sampling is set")
     args = p.parse_args()
+    fanouts = ([int(f) for f in args.sampling.split(",")]
+               if args.sampling else None)
 
     from kagnn_tpu.train.experiments import run_node_experiment
     from kagnn_tpu.train.hpo import TPESampler, create_study
@@ -57,6 +69,9 @@ def main():
             "heads": args.heads,
             "fused": args.fused,
             "bf16": args.bf16,
+            "reorder": args.reorder,
+            "sampling": fanouts,
+            "sampling_batch": args.sampling_batch,
             "hidden_layers": 0,
             "grid_size": 0,
             "spline_order": 0,
@@ -97,8 +112,9 @@ def main():
         "architecture": args.architecture, "patience": args.patience,
         "epochs": args.epochs, "skip": args.skip, "heads": args.heads,
         "fused": args.fused,
-            "bf16": args.bf16, "hidden_layers": 0, "grid_size": 0,
-        "spline_order": 0,
+        "bf16": args.bf16, "reorder": args.reorder, "sampling": fanouts,
+        "sampling_batch": args.sampling_batch,
+        "hidden_layers": 0, "grid_size": 0, "spline_order": 0,
     }
     params.update(best)
     accs = []

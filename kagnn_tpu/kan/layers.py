@@ -108,7 +108,11 @@ class KANLinear(nn.Module):
             return self.spline_weight * self.spline_scaler[..., None]
         return self.spline_weight
 
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, gin_graph=None) -> Array:
+        """Standard KANLinear forward; with `gin_graph=(g, eps)` the layer
+        computes KANLinear((1+eps)·x_i + Σ_j x_j) over the GraphBatch —
+        the GIN conv fusion point (pallas/gin_fused.py: aggregation, the
+        (1+eps)x add and the whole transform run in one kernel launch)."""
         orig_shape = x.shape
         x = x.reshape(-1, self.in_features)
         grid = self.grid.value
@@ -117,6 +121,24 @@ class KANLinear(nn.Module):
         if cd is not None:
             x, grid, wb, ws = (x.astype(cd), grid.astype(cd),
                                wb.astype(cd), ws.astype(cd))
+
+        if gin_graph is not None:
+            g, eps = gin_graph
+            from kagnn_tpu.ops import segment
+
+            fusable = (self.fused and segment.halo_state() is None
+                       and g.senders_perm is not None
+                       and x.dtype in (jnp.float32, jnp.bfloat16))
+            if fusable:
+                from kagnn_tpu.pallas.gin_fused import gin_kan_fused
+
+                out = gin_kan_fused(x, g, eps, grid, wb, ws,
+                                    self.spline_order)
+                return out.reshape(*orig_shape[:-1], self.out_features)
+            # unfused fallback (CPU / halo mode): aggregate, then transform
+            agg = segment.neighbor_sum(
+                x, g, edge_weight=g.edge_mask.astype(x.dtype))
+            x = (1.0 + eps) * x + agg
 
         if self.fused:
             from kagnn_tpu.pallas import bspline_fused
@@ -158,9 +180,11 @@ class KAN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None,
-                 train: bool = False) -> Array:
+                 train: bool = False, gin_graph=None) -> Array:
         # mask/train accepted (and ignored) for the shared update-net calling
         # convention with MLP (which needs them for masked BatchNorm).
+        # gin_graph=(g, eps): fuse the GIN aggregation into the FIRST layer
+        # (see KANLinear.__call__ / pallas/gin_fused.py).
         del mask, train
         for i, (fin, fout) in enumerate(
             zip(self.layers_hidden[:-1], self.layers_hidden[1:])
@@ -178,7 +202,7 @@ class KAN(nn.Module):
                 fused=self.fused,
                 compute_dtype=self.compute_dtype,
                 name=f"layers_{i}",
-            )(x)
+            )(x, gin_graph=gin_graph if i == 0 else None)
         return x
 
 

@@ -182,6 +182,14 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, g: GraphBatch, x: Array, train: bool = False) -> Array:
+        from kagnn_tpu.kan.layers import KAN
+
+        if isinstance(self.update, KAN):
+            # aggregation fuses into the update net's first KANLinear
+            # (one kernel launch on TPU when update.fused; the same
+            # neighbor_sum otherwise — see KANLinear.__call__)
+            return self.update(x, mask=g.node_mask, train=train,
+                               gin_graph=(g, self.eps))
         agg = segment.neighbor_sum(x, g,
                                    edge_weight=g.edge_mask.astype(x.dtype))
         return self.update((1.0 + self.eps) * x + agg,

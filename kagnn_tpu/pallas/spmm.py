@@ -5,23 +5,28 @@ XLA lowers scatter-add on TPU to a slow serialized form (measured ~18 ms for
 the framework's invariant that edges are SORTED BY RECEIVER (established by
 the batchers): the edges of each 128-row output block are contiguous.
 
-v2 design (fixes the two round-1 bottlenecks measured in PERFORMANCE.md):
+v2 design: a GROUPED grid — each grid step owns G_BLOCKS receiver blocks and
+streams all their edge chunks through one double-buffered DMA pipeline, with
+per-(chunk, sub-block) overlap predication into a VMEM accumulator (receivers
+outside a sub-block match no indicator row, so boundary chunks self-mask).
+Optional lane PACKING (two <=64-wide edge rows per 128-lane register row) is
+supported but off by default — measured slower (the kernel is not
+bandwidth-bound at those widths).
 
-  * GROUPED grid: each grid step owns G_BLOCKS=8 receiver blocks (1024 output
-    rows) and streams ALL their edge chunks through one double-buffered DMA
-    pipeline, so the per-DMA latency (~2 us) is amortized over ~14 chunks
-    instead of stalling every 128-row block (round-1 kernel: 6.2 us/block,
-    latency-bound at 73 GB/s).
-  * LANE PACKING: messages with <=64 features are reinterpreted as
-    (E/2, 128) — two edges per 128-lane row (a free contiguous reshape) —
-    halving HBM traffic vs the round-1 kernel's 64->128 zero-padding. The
-    one-hot accumulation then uses two MXU matmuls per chunk (even-edge and
-    odd-edge indicators) whose valid lane halves are folded at group end;
-    total MXU FLOPs are unchanged.
-  * Accumulation per sub-block happens in a VMEM scratch accumulator with
-    per-(chunk, sub-block) overlap predication, so chunks spanning block
-    boundaries are self-masking exactly as in v1 (receivers outside a
-    sub-block match no indicator row).
+Measured position (1 chip via tunnel, arxiv scale E=1.17M):
+  * this chip's PRACTICAL streaming ceiling is ~350-400 GB/s (XLA
+    elementwise over the same array: 373 GB/s; a pure Pallas DMA-chain
+    reduce with this kernel's structure: 347 GB/s) — NOT the 819 GB/s paper
+    number previous roofline notes used;
+  * the kernel runs at ~72% of its own streaming bound (D=128 f32:
+    ~215 GB/s effective vs ~300 GB/s pure-stream); the gap is the per-chunk
+    indicator build (VPU compare+select) + one-hot MXU passes;
+  * tiling/DMA-depth sweeps (chunk 512-2048, groups 4-16, 2-8 DMA slots,
+    lane packing) all land within +-5%, confirming compute-overhead, not
+    DMA latency, as the residual.
+Further headroom comes from FUSION (consuming the aggregate in-kernel so the
+(N, D) round-trip and the next layer's basis tensors never hit HBM — see
+pallas/gin_fused.py), not from more tiling.
 
 No scatter anywhere. The backward of segment-sum is a plain gather
 (cot[receivers]), which XLA handles well, so the custom VJP uses jnp.take.
@@ -40,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 ROWS_PER_BLOCK = 128   # output rows covered by one indicator matmul
-G_BLOCKS = 8           # receiver blocks per grid step (group)
-CHUNK_ROWS = 256       # packed message rows per DMA chunk
+G_BLOCKS = 4           # receiver blocks per grid step (group)
+CHUNK_ROWS = 1024      # message rows per DMA chunk
 
 
 def _acc_dots(onehot, m, acc):
@@ -154,9 +159,11 @@ def _fwd_impl(msgs, receivers, num_segments, interpret, *,
     G_BLOCKS = g_blocks if g_blocks is not None else globals()["G_BLOCKS"]
     e, d_orig = msgs.shape
     # lane packing: two <=64-wide edge rows share one 128-lane register row
-    # (free contiguous reshape); wider rows pad to a 128-lane multiple
+    # (free contiguous reshape); wider rows pad to a 128-lane multiple.
+    # Default OFF: the kernel is compute-overhead-bound, so halving lane
+    # traffic measured slower than the simple padded layout.
     if pack is None:
-        pack = 2 if d_orig <= 64 else 1
+        pack = 1
     if pack == 2 and d_orig <= 64:
         d_eff = 64
     else:

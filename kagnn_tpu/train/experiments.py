@@ -68,6 +68,51 @@ def train_node_total(model, g: GraphBatch, params_cfg: dict,
     }
 
 
+def train_node_sampled(model, d: dict, g: GraphBatch, params_cfg: dict,
+                       train_mask, val_mask, test_mask, key,
+                       fanouts, batch_size: int = 512) -> dict:
+    """One split trained on GraphSAGE-style sampled mini-batches
+    (data/sampling.NeighborSampler) with full-graph evaluation — the scaling
+    lever the reference lacks for ogbn-arxiv (SURVEY.md §2.4 N9). Matches
+    `train_node_total`'s contract."""
+    from kagnn_tpu.data.sampling import NeighborSampler
+
+    tx = optax.adam(params_cfg["lr"])
+    sampler = NeighborSampler(d["senders"], d["receivers"],
+                              int(d["n_node"]), fanouts=fanouts,
+                              batch_size=min(batch_size,
+                                             int(np.asarray(train_mask).sum())),
+                              seed=params_cfg.get("seed", 0))
+    train_nodes = np.flatnonzero(np.asarray(train_mask))
+    b0 = next(sampler.epoch(train_nodes, d["nodes"], d["y"]))
+    state, _ = create_train_state(model, key, b0, tx)
+    train_step, evaluate = make_node_steps(model, tx)
+    seed_mask = sampler.seed_mask()
+    stopper = EarlyStopper(patience=params_cfg.get("patience", 100))
+    best_val, best_state = float("inf"), state
+    for epoch in range(params_cfg.get("epochs", 1000)):
+        for b in sampler.epoch(train_nodes, d["nodes"], d["y"]):
+            key, sub = jax.random.split(key)
+            state, _ = train_step(state, b, seed_mask, sub)
+        logits = evaluate(state, g)
+        val_loss = float(losses.masked_softmax_cross_entropy(
+            logits, g.y, val_mask))
+        should_save, should_stop = stopper.early_stop(val_loss)
+        if should_save and val_loss < best_val:
+            best_val, best_state = val_loss, state
+        if should_stop:
+            break
+    logits = evaluate(best_state, g)
+    return {
+        "train_acc": float(losses.masked_accuracy(logits, g.y, train_mask)),
+        "val_acc": float(losses.masked_accuracy(logits, g.y, val_mask)),
+        "val_loss": best_val,
+        "test_acc": float(losses.masked_accuracy(logits, g.y, test_mask)),
+        "epochs_run": epoch + 1,
+        "state": best_state,
+    }
+
+
 def make_node_model(params: dict) -> NodeClassifier:
     """Reference `make_model` (utils.py:88-123)."""
     return NodeClassifier(
@@ -100,8 +145,19 @@ def run_node_experiment(params: dict, dataset_name: str,
         dataset_name, 2)
     params["num_classes"] = d["num_classes"]
     params["num_features"] = d["nodes"].shape[1]
+
+    reorder = params.get("reorder") or "none"
+    if reorder != "none":
+        # renumber nodes for gather locality (graphs/reorder.py); masks and
+        # labels are permuted consistently so the protocol is unchanged
+        from kagnn_tpu.graphs.reorder import (bfs_order, degree_order,
+                                              reorder_graph)
+        d = reorder_graph(d, {"rcm": bfs_order, "bfs": bfs_order,
+                              "degree": degree_order}[reorder])
+
     g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"], y=d["y"])
     model = make_node_model(params)
+    sampling = params.get("sampling") or None
 
     n_splits = d["train_masks"].shape[0]
     if max_splits:
@@ -110,11 +166,15 @@ def run_node_experiment(params: dict, dataset_name: str,
     key = jax.random.key(seed)
     for i in range(n_splits):
         key, sub = jax.random.split(key)
-        res = train_node_total(
-            model, g, params,
-            _pad_mask(d["train_masks"][i], g.n_node_pad),
-            _pad_mask(d["val_masks"][i], g.n_node_pad),
-            _pad_mask(d["test_masks"][i], g.n_node_pad), sub)
+        masks = (_pad_mask(d["train_masks"][i], g.n_node_pad),
+                 _pad_mask(d["val_masks"][i], g.n_node_pad),
+                 _pad_mask(d["test_masks"][i], g.n_node_pad))
+        if sampling:
+            res = train_node_sampled(
+                model, d, g, params, *masks, key=sub, fanouts=sampling,
+                batch_size=params.get("sampling_batch", 512))
+        else:
+            res = train_node_total(model, g, params, *masks, sub)
         res.pop("state")
         results.append(res)
 
@@ -141,19 +201,50 @@ def run_node_experiment(params: dict, dataset_name: str,
 
 def batch_loader(graphs: list[dict], spec, batch_size: int,
                  shuffle: bool = False, seed: int = 0,
-                 postprocess: Optional[Callable] = None):
-    """Returns a callable yielding padded GraphBatches (static shapes)."""
-    rng = np.random.default_rng(seed)
+                 postprocess: Optional[Callable] = None,
+                 native: Optional[bool] = None, prefetch: int = 0):
+    """Returns a callable yielding padded GraphBatches (static shapes).
 
-    def it():
+    `native`: route batch assembly through the C++ assembler
+    (data/native.py; bit-identical to `batch_graphs`, ~2x faster). None =
+    auto (use it when the shared library builds), False = pure python,
+    True = required. `prefetch`: keep N assembled batches in flight on a
+    background thread incl. host->device transfer (train/prefetch.py) —
+    the counterpart of PyG's DataLoader workers
+    (reference graph_classification_utils.py:109-110)."""
+    rng = np.random.default_rng(seed)
+    assembler = None
+    has_edge_feat = any(g.get("edges") is not None for g in graphs)
+    if native or (native is None and not has_edge_feat):
+        from kagnn_tpu.data.native import (NativeBatchAssembler,
+                                           native_available)
+        if native_available():
+            assembler = NativeBatchAssembler(graphs, spec)
+        elif native:
+            raise RuntimeError("native batch assembler requested but the "
+                               "shared library failed to build")
+
+    def gen():
         order = rng.permutation(len(graphs)) if shuffle else np.arange(
             len(graphs))
         for i in range(0, len(order), batch_size):
-            chunk = [graphs[j] for j in order[i:i + batch_size]]
-            b = batch_graphs(chunk, spec)
+            sel = order[i:i + batch_size]
+            if assembler is not None:
+                b = assembler.assemble(sel)
+            else:
+                b = batch_graphs([graphs[j] for j in sel], spec)
             if postprocess is not None:
                 b = postprocess(b)
             yield b
+
+    if prefetch > 0:
+        from kagnn_tpu.train.prefetch import prefetch_to_device
+
+        def it():
+            return prefetch_to_device(gen(), size=prefetch)
+    else:
+        def it():
+            return gen()
 
     return it
 

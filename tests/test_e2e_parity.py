@@ -1,0 +1,155 @@
+"""End-to-end DOWNSTREAM parity against the reference's own torch code.
+
+The environment has no network and no vendored real datasets (VERDICT
+round-1 item 1 asks for real-data accuracy; zero egress makes that
+impossible here — documented in BASELINE.md). This is the strongest
+available substitute: train the reference's ACTUAL `ekan.py` KAN inside a
+KAGCN node classifier under the reference's training protocol (full-batch
+Adam + masked CE + best-val early stopping, node_classification_clean/
+utils.py:125-193) in torch, and train this framework's KAGCN with identical
+data / hyperparameters / protocol — test accuracies must agree within
+seed noise.
+
+Only the PyG `GCNConv` wrapper is re-implemented in torch here (PyG is not
+installed); its math — D^-1/2(A+I)D^-1/2 · lin(x) + bias with the KAN
+grafted as `lin` (reference models.py:31-37) — is 12 lines of scatter ops
+and is itself covered by the per-layer parity suite (test_conv_parity.py).
+"""
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/node_classification_clean"
+sys.path.insert(0, REF)
+try:
+    from ekan import KAN as TorchKAN  # noqa: E402
+    HAVE_REF = True
+except Exception:  # pragma: no cover
+    HAVE_REF = False
+
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference not available")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from kagnn_tpu.data.synthetic import community_node_graph  # noqa: E402
+from kagnn_tpu.graphs import single_graph  # noqa: E402
+from kagnn_tpu.models import NodeClassifier  # noqa: E402
+from kagnn_tpu.train import losses as L  # noqa: E402
+from kagnn_tpu.train.experiments import train_node_total  # noqa: E402
+
+HIDDEN, GRID, ORDER, LR, EPOCHS, PATIENCE = 16, 4, 3, 5e-3, 300, 60
+
+
+class TorchKAGCN(torch.nn.Module):
+    """Reference GKAN_Nodes (models.py:150-203) minus PyG: 2x {KAGCN conv ->
+    BatchNorm1d} + KANLinear head, skip=False. The conv is PyG GCNConv math
+    with the conv's lin replaced by the reference's KANLinear (KAN with one
+    layer) — the grafting trick at reference models.py:31-37."""
+
+    def __init__(self, fin, hidden, classes):
+        super().__init__()
+        from ekan import KANLinear
+
+        self.lin1 = KANLinear(fin, hidden, grid_size=GRID, spline_order=ORDER)
+        self.lin2 = KANLinear(hidden, hidden, grid_size=GRID,
+                              spline_order=ORDER)
+        self.bias1 = torch.nn.Parameter(torch.zeros(hidden))
+        self.bias2 = torch.nn.Parameter(torch.zeros(hidden))
+        self.bn1 = torch.nn.BatchNorm1d(hidden)
+        self.bn2 = torch.nn.BatchNorm1d(hidden)
+        self.head = KANLinear(hidden, classes, grid_size=GRID,
+                              spline_order=ORDER)
+
+    @staticmethod
+    def propagate(h, senders, receivers, n):
+        # PyG GCNConv: add self loops, symmetric normalization
+        deg = torch.zeros(n).index_add_(
+            0, receivers, torch.ones(receivers.shape[0])) + 1.0
+        dinv = deg.rsqrt()
+        w = dinv[senders] * dinv[receivers]
+        out = torch.zeros_like(h).index_add_(0, receivers,
+                                             h[senders] * w[:, None])
+        return out + h * (dinv * dinv)[:, None]
+
+    def forward(self, x, senders, receivers):
+        n = x.shape[0]
+        h = self.propagate(self.lin1(x), senders, receivers, n) + self.bias1
+        h = self.bn1(h)
+        h = self.propagate(self.lin2(h), senders, receivers, n) + self.bias2
+        h = self.bn2(h)
+        return self.head(h)
+
+
+def _train_torch(d, seed):
+    torch.manual_seed(seed)
+    model = TorchKAGCN(d["nodes"].shape[1], HIDDEN,
+                       int(d["y"].max()) + 1)
+    x = torch.tensor(d["nodes"])
+    y = torch.tensor(d["y"].astype(np.int64))
+    snd = torch.tensor(d["senders"].astype(np.int64))
+    rcv = torch.tensor(d["receivers"].astype(np.int64))
+    tr = torch.tensor(d["masks"]["train"])
+    va = torch.tensor(d["masks"]["val"])
+    te = torch.tensor(d["masks"]["test"])
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    ce = torch.nn.CrossEntropyLoss()
+    best_val, best_acc, patience = float("inf"), 0.0, 0
+    for epoch in range(EPOCHS):
+        model.train()
+        opt.zero_grad()
+        out = model(x, snd, rcv)
+        loss = ce(out[tr], y[tr])
+        loss.backward()
+        opt.step()
+        model.eval()
+        with torch.no_grad():
+            out = model(x, snd, rcv)
+            val = float(ce(out[va], y[va]))
+            if val < best_val:  # reference EarlyStopper (utils.py:68-86)
+                best_val, patience = val, 0
+                best_acc = float((out[te].argmax(1) == y[te]).float().mean())
+            else:
+                patience += 1
+                if patience >= PATIENCE:
+                    break
+    return best_acc
+
+
+def _train_jax(d, g, seed):
+    model = NodeClassifier(conv_type="gcn", architecture="kan", mp_layers=2,
+                           num_features=d["nodes"].shape[1],
+                           hidden_channels=HIDDEN,
+                           num_classes=int(d["y"].max()) + 1, skip=False,
+                           grid_size=GRID, spline_order=ORDER, dropout=0.0)
+    cfg = {"lr": LR, "epochs": EPOCHS, "patience": PATIENCE}
+
+    def pad(m):
+        return jnp.asarray(np.concatenate(
+            [m, np.zeros(g.n_node_pad - m.shape[0], bool)]))
+
+    res = train_node_total(model, g, cfg, pad(d["masks"]["train"]),
+                           pad(d["masks"]["val"]), pad(d["masks"]["test"]),
+                           jax.random.key(seed))
+    return res["test_acc"]
+
+
+def test_e2e_accuracy_parity_vs_reference_torch():
+    """Same data, same protocol, same hyperparameters: the reference's torch
+    KAGCN (with its real ekan.py) and this framework's KAGCN must reach the
+    same test accuracy within seed noise."""
+    d = community_node_graph(n_nodes=300, n_classes=3, num_features=10,
+                             avg_degree=8, seed=42)
+    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
+                     y=d["y"])
+    accs_t = [_train_torch(d, s) for s in range(3)]
+    accs_j = [_train_jax(d, g, s) for s in range(3)]
+    mt, mj = float(np.mean(accs_t)), float(np.mean(accs_j))
+    # both must actually learn (well above the ~1/3 class prior)...
+    assert mt > 0.6 and mj > 0.6, (accs_t, accs_j)
+    # ...and agree within noise
+    assert abs(mt - mj) < 0.08, (accs_t, accs_j)
