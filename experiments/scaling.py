@@ -32,6 +32,15 @@ def main():
     p.add_argument("--conv", default="gin", choices=["gin", "gcn", "gat"])
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--fused", action="store_true")
+    p.add_argument("--strategy", default="halo",
+                   choices=["halo", "allreduce"],
+                   help="halo: node shards + boundary-only all_to_all "
+                        "(dist/halo.py); allreduce: replicated nodes + "
+                        "full psum (dist/partition.py)")
+    p.add_argument("--reorder", default="none",
+                   choices=["none", "rcm", "degree"],
+                   help="renumber nodes before partitioning (shrinks the "
+                        "halo boundary)")
     args = p.parse_args()
 
     import jax
@@ -40,6 +49,7 @@ def main():
     import optax
 
     from kagnn_tpu.data.synthetic import arxiv_scale_graph
+    from kagnn_tpu.dist.halo import halo_scaling_report
     from kagnn_tpu.dist.partition import scaling_report
     from kagnn_tpu.graphs import single_graph
     from kagnn_tpu.models import NodeClassifier
@@ -47,6 +57,11 @@ def main():
 
     d = arxiv_scale_graph(n_nodes=args.n_nodes, n_edges=args.n_edges,
                           num_features=64, n_classes=10)
+    if args.reorder != "none":
+        from kagnn_tpu.graphs.reorder import (bfs_order, degree_order,
+                                              reorder_graph)
+        d = reorder_graph(d, {"rcm": bfs_order,
+                              "degree": degree_order}[args.reorder])
     g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
                      y=d["y"], edge_pad_multiple=1024)
     mask = jnp.asarray(np.arange(g.n_node_pad) < int(d["n_node"]))
@@ -61,8 +76,9 @@ def main():
         state, _ = create_train_state(model, jax.random.key(0), g, tx)
         return model, state, g, mask, tx
 
-    rows = scaling_report(model_fn, n_devices_list=args.devices,
-                          iters=args.iters)
+    report = (halo_scaling_report if args.strategy == "halo"
+              else scaling_report)
+    rows = report(model_fn, n_devices_list=args.devices, iters=args.iters)
     for r in rows:
         print(json.dumps(r))
 

@@ -374,3 +374,41 @@ def make_halo_node_step(model, tx: optax.GradientTransformation, mesh: Mesh,
         return cache["ev"](state, arrs, em)
 
     return step, evaluate
+
+
+def halo_scaling_report(model_fn, n_devices_list=(1, 2, 4, 8),
+                        iters: int = 5) -> list:
+    """edges/s of the halo-partitioned step at several shard counts (the
+    1-chip/1-host/N-host scaling harness, BASELINE.md; run on a real pod
+    slice for meaningful numbers). model_fn() -> (model, state, g, mask, tx).
+    """
+    import time
+
+    rows = []
+    for n in n_devices_list:
+        if n > len(jax.devices()):
+            continue
+        mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(n), ("graph",))
+        model, state, g, mask, tx = model_fn()
+        plan = build_halo_plan(g, n)
+        step, _ = make_halo_node_step(model, tx, mesh, plan, g,
+                                      np.asarray(mask))
+        key = jax.random.key(0)
+        state, loss = step(state, key)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state, key)
+        jax.block_until_ready(loss)
+        sec = (time.perf_counter() - t0) / iters
+        rows.append({"n_devices": n, "sec_per_step": sec,
+                     "edges_per_s": int(g.n_edge) / sec,
+                     "halo_rows_per_dev": plan.comm_rows_per_device(),
+                     "boundary_rows": plan.boundary_rows,
+                     "block": plan.block})
+    if rows:
+        base = rows[0]["edges_per_s"]
+        for r in rows:
+            r["scaling_efficiency"] = r["edges_per_s"] / (
+                base * r["n_devices"])
+    return rows
