@@ -264,9 +264,27 @@ class FastKANLayer(nn.Module):
         cd = self.compute_dtype
         if cd is not None:
             x = x.astype(cd)
-        xs = self.layernorm(x) if (self.use_layernorm and use_layernorm) else x
 
         sw = self.spline_weight if cd is None else self.spline_weight.astype(cd)
+        if (self.fused and self.use_base_update
+                and self.use_layernorm and use_layernorm):
+            # whole layer in one kernel launch (layernorm + RBF + both GEMMs
+            # + bias); pallas/fastkan_layer.py
+            from kagnn_tpu.pallas import fastkan_layer
+
+            if self.is_initializing():
+                _ = self.layernorm(x)  # materialize the layernorm params
+            lng = self.layernorm.variables["params"]["scale"]
+            lnb = self.layernorm.variables["params"]["bias"]
+            wb, bb = self.base_weight, self.base_bias
+            if cd is not None:
+                lng, lnb, wb, bb = (a.astype(cd) for a in (lng, lnb, wb, bb))
+            ret = fastkan_layer.fastkan_layer_fused(
+                x, lng, lnb, sw, wb, bb, self.grid_min, self.grid_max,
+                self.num_grids, self.denominator)
+            return ret.reshape(*orig_shape[:-1], self.output_dim)
+
+        xs = self.layernorm(x) if (self.use_layernorm and use_layernorm) else x
         if self.fused:
             from kagnn_tpu.pallas import rbf_fused
 

@@ -25,7 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-DEFAULT_TILE_N = 256
+FWD_TILE_N = 1024  # measured best on v5e (tile sweep; PERFORMANCE.md)
+BWD_TILE_N = 512   # bwd holds basis+dbasis+wide (T, G*D) tensors in VMEM
+
+
+def _tile_for(n_rows: int, tile: int) -> int:
+    """Shrink the row tile for small inputs so heads/tests don't pad 4x."""
+    while tile > 256 and tile > 2 * n_rows:
+        tile //= 2
+    return tile
 
 
 def _centers(grid_min: float, grid_max: float, num_grids: int) -> np.ndarray:
@@ -108,18 +116,19 @@ def _rbf_fwd_impl(x, w_gdo, grid_min, grid_max, num_grids, denominator,
     centers = _centers(grid_min, grid_max, num_grids)
     inv_h = float(1.0 / denominator)
     G, D, O = w_gdo.shape
-    xp, n = _pad_rows(x, DEFAULT_TILE_N)
+    T = _tile_for(x.shape[0], FWD_TILE_N)
+    xp, n = _pad_rows(x, T)
     np_rows = xp.shape[0]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, centers=centers, inv_h=inv_h),
-        grid=(np_rows // DEFAULT_TILE_N,),
+        grid=(np_rows // T,),
         in_specs=[
-            pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
+            pl.BlockSpec((T, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((T, O), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_rows, O), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -144,22 +153,23 @@ def _rbf_vjp_bwd(grid_min, grid_max, num_grids, denominator, interpret,
     centers = _centers(grid_min, grid_max, num_grids)
     inv_h = float(1.0 / denominator)
     G, D, O = w_gdo.shape
-    xp, n = _pad_rows(x, DEFAULT_TILE_N)
-    gp, _ = _pad_rows(dout, DEFAULT_TILE_N)
+    T = _tile_for(x.shape[0], BWD_TILE_N)
+    xp, n = _pad_rows(x, T)
+    gp, _ = _pad_rows(dout, T)
     np_rows = xp.shape[0]
     dx, dw = pl.pallas_call(
         functools.partial(_bwd_kernel, centers=centers, inv_h=inv_h),
-        grid=(np_rows // DEFAULT_TILE_N,),
+        grid=(np_rows // T,),
         in_specs=[
-            pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
+            pl.BlockSpec((T, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
+            pl.BlockSpec((T, O), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((DEFAULT_TILE_N, D), lambda i: (i, 0),
+            pl.BlockSpec((T, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G * D, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

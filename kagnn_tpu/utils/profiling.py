@@ -90,13 +90,53 @@ class Roofline:
         }
 
 
-def _time_fn(fn: Callable, *args, iters: int = 20) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _time_fn(fn: Callable, x, iters: int = 20) -> float:
+    """Honest per-application wall time of fn(x).
+
+    Two failure modes of naive `for _ in range(N): fn(x)` timing on this
+    TPU (both observed, PERFORMANCE.md "Measurement caveats"): the tunnel
+    relay CACHES responses to repeated identical executions, and its
+    per-call dispatch (~4-5 ms) swamps ms-scale kernels. So when fn maps
+    (N, D) -> (N, D) the applications are CHAINED inside one jitted
+    fori_loop — one dispatch, every iteration data-depends on the previous,
+    renormalized between applications to keep values in range — and the
+    per-apply cost of the renormalize+loop scaffolding (measured with
+    fn=identity) is subtracted. Results are hard-fetched (a host transfer of
+    a fresh value cannot be replayed from cache). Falls back to distinct
+    pre-generated inputs when the shapes don't chain."""
+    from jax import lax
+
+    probe = jax.eval_shape(fn, x)
+    if probe.shape == x.shape and probe.dtype == x.dtype:
+        def chained(f):
+            @jax.jit
+            def run(v):
+                def body(_, v):
+                    y = f(v)
+                    return y * lax.rsqrt(jnp.mean(y * y) + 1e-3)
+                return lax.fori_loop(0, iters, body, v)
+            return run
+
+        def once(run, v):
+            t0 = time.perf_counter()
+            out = run(v)
+            float(out[(0,) * out.ndim])  # hard fetch
+            return time.perf_counter() - t0
+
+        run, base = chained(fn), chained(lambda v: v)
+        jax.block_until_ready(run(x))        # compile + warm
+        jax.block_until_ready(base(x))
+        once(run, x * 1.000001)              # settle the relay
+        t = min(once(run, x * (1 + 1e-6 * k)) for k in (2, 3, 4))
+        t0 = min(once(base, x * (1 + 1e-6 * k)) for k in (5, 6, 7))
+        return max(t - t0, 1e-9) / iters
+
+    xs = [x * (1 + 1e-6 * k) for k in range(iters)]
+    jax.block_until_ready(fn(x))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(v) for v in xs]
+    jax.block_until_ready(outs)
+    float(outs[-1][(0,) * outs[-1].ndim])
     return (time.perf_counter() - t0) / iters
 
 
@@ -155,4 +195,32 @@ def kernel_report(n: int = 131072, d: int = 64, o: int = 64,
     sec = _time_fn(jax.jit(rbf_xla), x, iters=iters)
     rows.append(Roofline("rbf_xla", flops_rbf, bytes_rbf_xla, sec,
                          peaks).row())
+
+    # ---- full FastKAN layer (layernorm + RBF + spline GEMM + base GEMM)
+    from kagnn_tpu.pallas.fastkan_layer import fastkan_layer_fused
+
+    lng = jnp.ones((d,), jnp.float32)
+    lnb = jnp.zeros((d,), jnp.float32)
+    wbase = jnp.asarray(rng.normal(size=(o, d)).astype(np.float32) * 0.1)
+    bbase = jnp.zeros((o,), jnp.float32)
+    flops_layer = flops_rbf + 2 * n * d * o + 10 * n * d
+    bytes_layer_fused = 4 * (n * d + n * o + d * o * (num_grids + 1))
+    sec = _time_fn(jax.jit(lambda x: fastkan_layer_fused(
+        x, lng, lnb, w, wbase, bbase, -2.0, 2.0, num_grids, h,
+        interpret=False)), x, iters=iters)
+    rows.append(Roofline("fastkan_layer_fused", flops_layer,
+                         bytes_layer_fused, sec, peaks).row())
+
+    def layer_xla(x):
+        mu = x.mean(axis=1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=1, keepdims=True)
+        xs = (x - mu) * jax.lax.rsqrt(var + 1e-5) * lng + lnb
+        basis = rbf.rbf_basis(xs, rbf.make_rbf_grid(-2.0, 2.0, num_grids), h)
+        return (basis.reshape(n, -1) @ w.T
+                + jax.nn.silu(x) @ wbase.T + bbase)
+
+    bytes_layer_xla = bytes_layer_fused + 2 * 4 * n * d * (num_grids + 1)
+    sec = _time_fn(jax.jit(layer_xla), x, iters=iters)
+    rows.append(Roofline("fastkan_layer_xla", flops_layer, bytes_layer_xla,
+                         sec, peaks).row())
     return rows
