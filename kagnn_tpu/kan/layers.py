@@ -258,7 +258,12 @@ class FastKANLayer(nn.Module):
                 self.param_dtype,
             )
 
-    def __call__(self, x: Array, use_layernorm: bool = True) -> Array:
+    def __call__(self, x: Array, use_layernorm: bool = True,
+                 gin_graph=None) -> Array:
+        """Standard FastKANLayer forward; with `gin_graph=(g, eps)` the layer
+        computes FastKAN((1+eps)·x_i + Σ_j x_j) over the GraphBatch — the
+        GIFASTKAN conv fusion point (pallas/gin_fastkan.py: aggregation,
+        the (1+eps)x add, layernorm, RBF and both GEMMs in one launch)."""
         orig_shape = x.shape
         x = x.reshape(-1, self.input_dim)
         cd = self.compute_dtype
@@ -266,6 +271,35 @@ class FastKANLayer(nn.Module):
             x = x.astype(cd)
 
         sw = self.spline_weight if cd is None else self.spline_weight.astype(cd)
+
+        if gin_graph is not None:
+            g, eps = gin_graph
+            from kagnn_tpu.ops import segment
+
+            fusable = (self.fused and self.use_base_update
+                       and self.use_layernorm and use_layernorm
+                       and segment.halo_state() is None
+                       and g.senders_perm is not None
+                       and x.dtype in (jnp.float32, jnp.bfloat16))
+            if fusable:
+                from kagnn_tpu.pallas.gin_fastkan import gin_fastkan_fused
+
+                if self.is_initializing():
+                    _ = self.layernorm(x)  # materialize the layernorm params
+                lng = self.layernorm.variables["params"]["scale"]
+                lnb = self.layernorm.variables["params"]["bias"]
+                wb, bb = self.base_weight, self.base_bias
+                if cd is not None:
+                    lng, lnb, wb, bb = (a.astype(cd)
+                                        for a in (lng, lnb, wb, bb))
+                ret = gin_fastkan_fused(
+                    x, g, eps, lng, lnb, sw, wb, bb, self.grid_min,
+                    self.grid_max, self.num_grids, self.denominator)
+                return ret.reshape(*orig_shape[:-1], self.output_dim)
+            # unfused fallback (CPU / halo mode): aggregate, then transform
+            agg = segment.neighbor_sum(
+                x, g, edge_weight=g.edge_mask.astype(x.dtype))
+            x = (1.0 + eps) * x + agg
         if (self.fused and self.use_base_update
                 and self.use_layernorm and use_layernorm):
             # whole layer in one kernel launch (layernorm + RBF + both GEMMs
@@ -373,7 +407,9 @@ class FastKAN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None,
-                 train: bool = False) -> Array:
+                 train: bool = False, gin_graph=None) -> Array:
+        # gin_graph=(g, eps): fuse the GIN aggregation into the FIRST layer
+        # (see FastKANLayer.__call__ / pallas/gin_fastkan.py).
         del mask, train  # shared update-net calling convention (see KAN)
         for i, (fin, fout) in enumerate(
             zip(self.layers_hidden[:-1], self.layers_hidden[1:])
@@ -389,5 +425,5 @@ class FastKAN(nn.Module):
                 fused=self.fused,
                 compute_dtype=self.compute_dtype,
                 name=f"layers_{i}",
-            )(x)
+            )(x, gin_graph=gin_graph if i == 0 else None)
         return x

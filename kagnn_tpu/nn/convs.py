@@ -147,25 +147,25 @@ class GATConv(nn.Module):
             alpha_src = alpha_src_ext[:hs.n_local]
             alpha_dst = (h * att_dst).sum(-1)
             logits = alpha_src_ext[g.senders] + alpha_dst[g.receivers]
+            logits = nn.leaky_relu(logits, self.negative_slope)
+            self_logits = nn.leaky_relu(alpha_src + alpha_dst,
+                                        self.negative_slope)
+            w_edge, w_self = segment.segment_softmax(
+                logits, g.receivers, hs.n_local,
+                mask=g.edge_mask, indices_are_sorted=True,
+                extra_logits=self_logits)
+            out = segment.neighbor_sum_attn(
+                h_ext.reshape(-1, H * C), g, w_edge)
+            out = out.reshape(-1, H, C) + h * w_self[..., None]
+            out = out.reshape(-1, H * C)
         else:
-            h_ext = None
+            # single-device / replicated: the whole attention block (logits,
+            # self-loop softmax, weighted aggregation) routes through the
+            # fused Pallas kernel on TPU — see ops/segment.gat_attention
             alpha_src = (h * att_src).sum(-1)  # (N, H)
             alpha_dst = (h * att_dst).sum(-1)
-            logits = alpha_src[g.senders] + alpha_dst[g.receivers]  # (E, H)
-        logits = nn.leaky_relu(logits, self.negative_slope)
-        self_logits = nn.leaky_relu(alpha_src + alpha_dst, self.negative_slope)
-        w_edge, w_self = segment.segment_softmax(
-            logits, g.receivers, g.n_node_pad if hs is None else hs.n_local,
-            mask=g.edge_mask, indices_are_sorted=True,
-            extra_logits=self_logits)
-
-        # attention-weighted aggregation, differentiable in features AND
-        # weights, scatter-free fwd+bwd (ops/segment.py neighbor_sum_attn);
-        # in halo mode the pre-extended table is aggregated locally
-        agg_in = h.reshape(-1, H * C) if h_ext is None else h_ext.reshape(-1, H * C)
-        out = segment.neighbor_sum_attn(agg_in, g, w_edge)
-        out = out.reshape(-1, H, C) + h * w_self[..., None]
-        out = out.reshape(-1, H * C)
+            out = segment.gat_attention(h.reshape(-1, H * C), alpha_src,
+                                        alpha_dst, g, self.negative_slope)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (H * C,))
             out = out + bias

@@ -414,6 +414,54 @@ def neighbor_sum_attn(x: Array, g, edge_weight: Array) -> Array:
                        indices_are_sorted=True)
 
 
+def gat_attention(h: Array, asrc: Array, adst: Array, g,
+                  negative_slope: float = 0.2) -> Array:
+    """The full GAT attention block: per-edge logits leaky_relu(asrc[j] +
+    adst[i]) -> per-destination softmax (with the implicit self-loop edge)
+    -> attention-weighted aggregation + self term. h (N, H*C), asrc/adst
+    (N, H); returns (N, H*C).
+
+    On TPU with sorted-edge metadata this runs through the fully-fused
+    Pallas attention kernel (pallas/gat_fused.py) — no segment-max, no
+    scatter, per-edge weights never hit HBM, and a scatter-free custom VJP.
+    Elsewhere it falls back to the segment_softmax + neighbor_sum_attn
+    composition. Replaces PyG's `softmax` CUDA kernel + propagate (reference
+    node_classification_clean/models.py:39-46; SURVEY.md §2.4 N3)."""
+    heads = asrc.shape[1]
+    hc = h.shape[1]
+    eligible = (h.ndim == 2 and h.dtype in (jnp.float32, jnp.bfloat16)
+                and _current_axis() is None and halo_state() is None
+                and getattr(g, "senders_perm", None) is not None
+                and g.senders_sorted is not None
+                and hc % heads == 0 and (hc // heads) % 8 == 0)
+    spmm = _spmm_mode()
+    if spmm is None:
+        route = eligible and _on_tpu()
+        interpret = False
+    else:
+        route = eligible and bool(spmm[0])
+        interpret = spmm[1]
+    if route:
+        from kagnn_tpu.pallas.gat_fused import gat_attention_fused
+
+        return gat_attention_fused(h, asrc, adst, g, negative_slope,
+                                   interpret)
+    slope = negative_slope
+    logits = (jnp.take(asrc, g.senders, axis=0)
+              + jnp.take(adst, g.receivers, axis=0))
+    logits = jnp.where(logits >= 0, logits, slope * logits)
+    zs = asrc + adst
+    self_logits = jnp.where(zs >= 0, zs, slope * zs)
+    w_edge, w_self = segment_softmax(
+        logits, g.receivers, g.n_node_pad, mask=g.edge_mask,
+        indices_are_sorted=True, extra_logits=self_logits)
+    out = neighbor_sum_attn(h, g, w_edge)
+    n, c = h.shape[0], hc // heads
+    out = (out.reshape(n, heads, c)
+           + h.reshape(n, heads, c) * w_self[..., None])
+    return out.reshape(n, hc)
+
+
 def neighbor_sum(x: Array, g, edge_weight: Array | None = None) -> Array:
     """out_i = sum over edges e with receiver i of w_e * x[sender_e] — the
     fused gather+aggregate (SpMM with A as the weighted adjacency).
