@@ -44,6 +44,10 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 mixed-precision compute")
     p.add_argument("--random_seed", type=int, default=0)
+    p.add_argument("--update_grid", type=int, default=0,
+                   help="refit KAN grids to live activations every N "
+                        "epochs (reference KAN.forward(update_grid=True), "
+                        "ekan.py:270-275); 0 = off")
     args = p.parse_args()
 
     from kagnn_tpu.train.experiments import run_node_experiment
@@ -51,7 +55,7 @@ def main():
     params = {k: getattr(args, k) for k in (
         "conv_type", "architecture", "hidden_channels", "hidden_layers",
         "grid_size", "spline_order", "lr", "dropout", "epochs", "patience",
-        "skip", "heads", "fused", "bf16")}
+        "skip", "heads", "fused", "bf16", "update_grid")}
     res = run_node_experiment(params, args.dataset, data_root=args.data_root,
                               log_dir=args.log_dir,
                               max_splits=args.max_splits,

@@ -140,6 +140,12 @@ class KANLinear(nn.Module):
                 x, g, edge_weight=g.edge_mask.astype(x.dtype))
             x = (1.0 + eps) * x + agg
 
+        # expose the transform input for grid adaptation (kan/adapt.py
+        # captures these via mutable=["intermediates"]; no-op otherwise) —
+        # the reference's update_grid consumes exactly this tensor
+        # (ekan.py:270-275 passes the running activation into update_grid)
+        self.sow("intermediates", "kan_in", x)
+
         if self.fused:
             from kagnn_tpu.pallas import bspline_fused
 

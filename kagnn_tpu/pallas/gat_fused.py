@@ -47,7 +47,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kagnn_tpu.pallas.spmm import G_BLOCKS, ROWS_PER_BLOCK, _pad_to
+from kagnn_tpu.pallas.spmm import ROWS_PER_BLOCK, _pad_to
+
+# receiver blocks per grid step: larger groups than the generic SpMM
+# kernel (4) because at GAT's typical degree each 128-row block owns
+# <1 edge chunk — small groups leave the per-group DMA pipelines
+# latency-bound (2 passes x n_groups un-hidden first-DMA latencies).
+# 16 blows the 16MB VMEM budget at HC=256 (measured 28M); 8 fits.
+GAT_G_BLOCKS = 8
 
 Array = jax.Array
 
@@ -143,6 +150,11 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
         r0 = sb * ROWS_PER_BLOCK
         sl = sl_ref[r0:r0 + ROWS_PER_BLOCK, :].astype(jnp.float32)  # (R, H)
         mx = jnp.maximum(m_scr[sb], sl)
+        # round the shift to bf16 NOW so pass 2 can recover each edge's
+        # shift exactly with a bf16 one-hot matmul; softmax is invariant to
+        # the shift as long as numerator (edges), self term and alpha all
+        # use this same rounded value
+        mx = mx.astype(jnp.bfloat16).astype(jnp.float32)
         m_scr[sb] = mx
         es = jnp.exp(sl - mx)  # (R, H); isolated rows -> 1
         s_scr[sb] = es
@@ -183,13 +195,22 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
             def _():
                 ids = row_ids + b * ROWS_PER_BLOCK
                 onehot = recv_ref[c, :][None, :] == ids
-                mx = m_scr[sb]  # (R, H)
+                # per-EDGE shift via a tiny one-hot matmul: mx is bf16-
+                # rounded (see self fold), so onehot^T @ mx is exact, and
+                # exp runs on (H, CHUNK) instead of H broadcast (R, CHUNK)
+                # tiles — ~32x fewer transcendentals
+                oh_bf = onehot.astype(jnp.bfloat16)
+                mxe = jax.lax.dot_general(
+                    m_scr[sb].astype(jnp.bfloat16), oh_bf,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (H, CHUNK)
+                # out-of-block edges get mxe = 0 -> exp(lg) may overflow to
+                # +inf; the select below drops them without producing nans
+                we = jnp.exp(lg[:H, :] - mxe)  # (H, CHUNK)
                 nums = []
                 sums = []
                 for h in range(H):
-                    w = jnp.where(
-                        onehot, jnp.exp(lg[h, :][None, :] - mx[:, h:h + 1]),
-                        0.0)  # (R, CHUNK) f32
+                    w = jnp.where(onehot, we[h, :][None, :], 0.0)
                     sums.append(jnp.sum(w, axis=1, keepdims=True))
                     nums.append(_wdots(w, m[:, h * C:(h + 1) * C],
                                        jnp.zeros((ROWS_PER_BLOCK, C),
@@ -245,13 +266,13 @@ def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
     lg_rows = lg_rows.reshape(n_chunks * h_pad, CHUNK)
 
     n_blocks = -(-n // ROWS_PER_BLOCK)
-    n_groups = -(-n_blocks // G_BLOCKS)
-    rows_out = n_groups * G_BLOCKS * ROWS_PER_BLOCK
+    n_groups = -(-n_blocks // GAT_G_BLOCKS)
+    rows_out = n_groups * GAT_G_BLOCKS * ROWS_PER_BLOCK
     x_p = _pad_to(_pad_to(x_self, hc_eff, axis=1), rows_out)
     sl_p = _pad_to(self_logits.astype(jnp.float32), rows_out)
     block_starts = jnp.searchsorted(
         receivers,
-        jnp.arange(n_groups * G_BLOCKS, dtype=jnp.int32) * ROWS_PER_BLOCK
+        jnp.arange(n_groups * GAT_G_BLOCKS, dtype=jnp.int32) * ROWS_PER_BLOCK
     ).astype(jnp.int32)
     offsets = jnp.concatenate([block_starts, jnp.asarray([e], jnp.int32)])
 
@@ -263,21 +284,21 @@ def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
                          memory_space=pltpu.VMEM),   # receivers, chunked
             pl.BlockSpec(memory_space=pl.ANY),       # logits stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),       # msgs stay in HBM
-            pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
+            pl.BlockSpec((GAT_G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
                          lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, H),
+            pl.BlockSpec((GAT_G_BLOCKS * ROWS_PER_BLOCK, H),
                          lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
+            pl.BlockSpec((GAT_G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
                          lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, H),
+            pl.BlockSpec((GAT_G_BLOCKS * ROWS_PER_BLOCK, H),
                          lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),  # max
-            pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),  # denom
-            pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, hc_eff), jnp.float32),
+            pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),  # max
+            pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),  # denom
+            pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, hc_eff), jnp.float32),
             pltpu.VMEM((2, h_pad, CHUNK), jnp.float32),   # logit chunks
             pltpu.VMEM((2, CHUNK, hc_eff), msgs.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -286,7 +307,7 @@ def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
     )
     out, alpha = pl.pallas_call(
         functools.partial(_kernel, heads=H, h_pad=h_pad, c_head=C, hc=hc,
-                          hc_eff=hc_eff, g_blocks=G_BLOCKS,
+                          hc_eff=hc_eff, g_blocks=GAT_G_BLOCKS,
                           out_dtype=msgs.dtype),
         grid_spec=grid_spec,
         out_shape=(
@@ -350,6 +371,7 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     (h, asrc, adst, senders, receivers, edge_mask, perm, senders_sorted,
      msgs, out, alpha, sl) = res
     from kagnn_tpu.pallas.spmm import _fwd_impl as _segsum
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum_narrow
 
     n, hc = h.shape
     e = senders.shape[0]
@@ -358,13 +380,15 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     f32 = jnp.float32
     # wide edge-space tensors stay in the input dtype (bf16 mixed-precision
     # halves the dominant gather/segment-sum traffic); narrow (·, H)
-    # softmax algebra runs in f32
+    # softmax algebra runs in f32. Every wide gather below indexes the
+    # small (N, HC) node tables — never an (E, HC) edge table (measured 2x
+    # slower per row at arxiv scale).
     wd = h.dtype
 
     # S_r = <dout_r, out_r> per head — softmax-sum term, pure node space
     S = jnp.sum((dout * out).astype(f32).reshape(n, H, C), axis=2)  # (N, H)
 
-    # edge-space map (all gathers; receivers ascending -> near-sequential)
+    # edge-space map (narrow gathers; receivers ascending)
     z = jnp.take(asrc, senders, axis=0) + jnp.take(adst, receivers, axis=0)
     z = z.astype(f32)
     lg = jnp.where(edge_mask[:, None], _leaky(z, negative_slope), NEG)
@@ -374,14 +398,17 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     dl = w * (dw - jnp.take(S, receivers, axis=0))                # (E, H)
     dz = dl * _dleaky(z, negative_slope)                          # (E, H)
 
-    # dh (messages) via the sender-sorted wide segment-sum; da_src/da_dst
-    # via the lane-packed narrow kernel — all scatter-free
-    cot_w = _head_expand(w, C).astype(wd) * douted                # (E, HC) wd
-    dh_msgs = _segsum(jnp.take(cot_w, perm, axis=0), senders_sorted, n,
-                      interpret)
-    dasrc_e = _segsum(jnp.take(dz, perm, axis=0), senders_sorted, n,
-                      interpret, pack=2)
-    dadst_e = _segsum(dz, receivers, n, interpret, pack=2)
+    # da_dst / da_src: unpadded narrow segment-sum kernels (receiver order
+    # and sender order); dh (messages): gather dout straight in SENDER
+    # order (receivers[perm] indexes the N-table) + one wide segment-sum —
+    # all scatter-free
+    dadst_e = sorted_segment_sum_narrow(dz, receivers, n, interpret)
+    dasrc_e = sorted_segment_sum_narrow(jnp.take(dz, perm, axis=0),
+                                        senders_sorted, n, interpret)
+    recv_by_sender = jnp.take(receivers, perm)
+    cot_s = (_head_expand(jnp.take(w, perm, axis=0), C).astype(wd)
+             * jnp.take(dout, recv_by_sender, axis=0))            # (E, HC) wd
+    dh_msgs = _segsum(cot_s, senders_sorted, n, interpret)
 
     # self-loop terms
     zs = (asrc + adst).astype(f32)

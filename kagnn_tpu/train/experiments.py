@@ -45,7 +45,21 @@ def train_node_total(model, g: GraphBatch, params_cfg: dict,
     stopper = EarlyStopper(patience=params_cfg.get("patience", 100))
     best_val = float("inf")
     best_state = state
+    # in-training grid adaptation cadence (reference
+    # KAN.forward(update_grid=True), ekan.py:270-275): every N epochs refit
+    # every KANLinear's knots to the live activation distribution
+    update_grid = int(params_cfg.get("update_grid", 0) or 0)
+    adapt_model = model.clone(fused=False) if update_grid else None
     for epoch in range(params_cfg.get("epochs", 1000)):
+        if update_grid and epoch > 0 and epoch % update_grid == 0:
+            from kagnn_tpu.kan.adapt import adapt_model_grids
+
+            variables = {"params": state.params, "buffers": state.buffers,
+                         "batch_stats": state.batch_stats}
+            new_vars = adapt_model_grids(adapt_model, variables, g,
+                                         train=False)
+            state = state.replace(params=new_vars["params"],
+                                  buffers=new_vars["buffers"])
         key, sub = jax.random.split(key)
         state, _ = train_step(state, g, train_mask, sub)
         logits = evaluate(state, g)

@@ -1,0 +1,423 @@
+"""End-to-end torch parity for the remaining task verticals (VERDICT
+round-2 item 5): round 2 proved downstream parity for KAGCN/KAN node
+classification only (tests/test_e2e_parity.py); this file repeats the
+construction for
+
+  * GRAPH CLASSIFICATION: reference torch KAGIN (their real
+    graph_classification/ekan.py KAN + GINConv sum-aggregation semantics +
+    global_add_pool + log_softmax head, models.py:95-119) trained under the
+    reference minibatch protocol (nll_loss, best-val early stopping,
+    graph_classification_utils.py:45-72) vs this framework's
+    GraphClassifier on identical synthetic molecule sets;
+  * GRAPH REGRESSION: reference torch KAGIN-GINE (messages ReLU(x_j+e_ij),
+    graph_regression/models.py:96-119, QM9-style nn.Linear encoders) with
+    L1 loss (optuna_zinc.py:38-92) vs GraphRegressor;
+  * FASTKAN: reference torch fastkan.py FastKANLayer grafted into a GCN
+    (FASTKAGCNConv, node_classification_clean/models.py:68-74) vs
+    NodeClassifier(architecture='fastkan') under the node protocol.
+
+5 seeds per side, paired data (same graphs, same splits); the means must
+agree within seed noise and both must clearly beat the trivial baseline.
+Real datasets remain unobtainable (zero egress — BASELINE.md), so training
+the reference's own KAN code on identical data is the strongest available
+downstream-parity evidence.
+"""
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_GC = "/root/reference/graph_classification"
+REF_NODE = "/root/reference/node_classification_clean"
+sys.path.insert(0, REF_NODE)
+try:
+    from ekan import KAN as TorchKAN  # noqa: E402  (byte-identical per task dir)
+    from fastkan import FastKANLayer as TorchFastKANLayer  # noqa: E402
+    HAVE_REF = True
+except Exception:  # pragma: no cover
+    HAVE_REF = False
+
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason="reference not available")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from kagnn_tpu.data.synthetic import (community_node_graph,  # noqa: E402
+                                      random_molecule_graphs)
+from kagnn_tpu.graphs import pad_spec_for, single_graph  # noqa: E402
+from kagnn_tpu.models import (GraphClassifier, GraphRegressor,  # noqa: E402
+                              NodeClassifier)
+from kagnn_tpu.train.experiments import batch_loader  # noqa: E402
+from kagnn_tpu.train.loops import (TrainState,  # noqa: E402
+                                   make_graph_cls_steps,
+                                   make_graph_reg_steps, train_graph_epochs)
+
+HID, GRID, ORDER, LR = 16, 4, 3, 5e-3
+EPOCHS, PATIENCE, BATCH = 60, 15, 32
+N_SEEDS = 5
+N_ATOM, N_BOND = 21, 4
+
+
+def _torch_kan(fin, fout, hidden_layers=2):
+    sizes = [fin] + [HID] * (hidden_layers - 1) + [fout]
+    return TorchKAN(layers_hidden=sizes, grid_size=GRID, spline_order=ORDER)
+
+
+def _collate(graphs, onehot_nodes=True, onehot_edges=False):
+    """Block-diagonal torch batch (PyG DataLoader collation semantics)."""
+    xs, es, snd, rcv, bvec, ys = [], [], [], [], [], []
+    off = 0
+    for gi, g in enumerate(graphs):
+        n = int(g["n_node"])
+        x = np.eye(N_ATOM, dtype=np.float32)[g["nodes"][:, 0]] \
+            if onehot_nodes else g["nodes"].astype(np.float32)
+        xs.append(x)
+        if onehot_edges and g.get("edges") is not None:
+            es.append(np.eye(N_BOND, dtype=np.float32)[g["edges"][:, 0]])
+        snd.append(g["senders"].astype(np.int64) + off)
+        rcv.append(g["receivers"].astype(np.int64) + off)
+        bvec.append(np.full(n, gi, np.int64))
+        ys.append(g["y"])
+        off += n
+    out = dict(
+        x=torch.tensor(np.concatenate(xs)),
+        senders=torch.tensor(np.concatenate(snd)),
+        receivers=torch.tensor(np.concatenate(rcv)),
+        batch=torch.tensor(np.concatenate(bvec)),
+        y=torch.tensor(np.concatenate(ys)),
+        n_graph=len(graphs), n_node=off)
+    if es:
+        out["e"] = torch.tensor(np.concatenate(es))
+    return out
+
+
+def _gin_agg(x, senders, receivers):
+    """PyG GINConv aggregation: (1+eps)x + sum_j x_j, eps=0."""
+    agg = torch.zeros_like(x).index_add_(0, receivers, x[senders])
+    return x + agg
+
+
+def _pool(x, bvec, n_graph):
+    return torch.zeros(n_graph, x.shape[1]).index_add_(0, bvec, x)
+
+
+class TorchKAGINCls(torch.nn.Module):
+    """Reference KAGIN (graph_classification/models.py:95-119)."""
+
+    def __init__(self, fin, n_classes, layers=2, hidden_layers=2):
+        super().__init__()
+        self.convs = torch.nn.ModuleList(
+            [_torch_kan(fin if i == 0 else HID, HID, hidden_layers)
+             for i in range(layers)])
+        self.bns = torch.nn.ModuleList(
+            [torch.nn.BatchNorm1d(HID) for _ in range(layers)])
+        self.head = _torch_kan(HID, n_classes, hidden_layers)
+
+    def forward(self, b):
+        x = b["x"]
+        for kan, bn in zip(self.convs, self.bns):
+            x = bn(kan(_gin_agg(x, b["senders"], b["receivers"])))
+        x = _pool(x, b["batch"], b["n_graph"])
+        return torch.log_softmax(self.head(x), dim=1)
+
+
+class TorchKAGINReg(torch.nn.Module):
+    """Reference regression KAGIN-GINE (graph_regression/models.py:96-119,
+    QM9-style Linear encoders, messages ReLU(x_j + e_ij))."""
+
+    def __init__(self, fin, fe, layers=2, hidden_layers=2):
+        super().__init__()
+        self.enc_x = torch.nn.Linear(fin, HID)
+        self.enc_e = torch.nn.Linear(fe, HID)
+        self.convs = torch.nn.ModuleList(
+            [_torch_kan(HID, HID, hidden_layers) for _ in range(layers)])
+        self.bns = torch.nn.ModuleList(
+            [torch.nn.BatchNorm1d(HID) for _ in range(layers)])
+        self.head = _torch_kan(HID, 1, hidden_layers)
+
+    def forward(self, b):
+        x = self.enc_x(b["x"])
+        e = self.enc_e(b["e"])
+        for kan, bn in zip(self.convs, self.bns):
+            msgs = torch.relu(x[b["senders"]] + e)
+            agg = torch.zeros_like(x).index_add_(0, b["receivers"], msgs)
+            x = bn(kan(x + agg))
+        x = _pool(x, b["batch"], b["n_graph"])
+        return self.head(x).squeeze(-1)
+
+
+def _torch_graph_train(model, tr, va, te, seed, classification):
+    """Reference minibatch protocol (graph_classification_utils.py:45-72 /
+    optuna_zinc.py:38-92): per-epoch minibatch training, best-val-loss
+    early stopping, test metric recorded at the best-val epoch."""
+    torch.manual_seed(seed + 1)
+    rng = np.random.default_rng(seed)
+    opt = torch.optim.Adam(model.parameters(), lr=LR)
+    best_val, best_test, patience = float("inf"), None, 0
+
+    def eval_batches(graphs):
+        model.eval()
+        tot, n, correct = 0.0, 0, 0
+        with torch.no_grad():
+            for i in range(0, len(graphs), BATCH):
+                b = _collate(graphs[i:i + BATCH],
+                             onehot_edges=not classification)
+                out = model(b)
+                if classification:
+                    y = b["y"].long()
+                    tot += float(torch.nn.functional.nll_loss(
+                        out, y, reduction="sum"))
+                    correct += int((out.argmax(1) == y).sum())
+                else:
+                    y = b["y"].float()
+                    tot += float(torch.nn.functional.l1_loss(
+                        out, y, reduction="sum"))
+                n += b["n_graph"]
+        return tot / n, (correct / n if classification else tot / n)
+
+    for epoch in range(EPOCHS):
+        model.train()
+        order = rng.permutation(len(tr))
+        for i in range(0, len(order), BATCH):
+            b = _collate([tr[j] for j in order[i:i + BATCH]],
+                         onehot_edges=not classification)
+            opt.zero_grad()
+            out = model(b)
+            if classification:
+                loss = torch.nn.functional.nll_loss(out, b["y"].long())
+            else:
+                loss = torch.nn.functional.l1_loss(out, b["y"].float())
+            loss.backward()
+            opt.step()
+        val_loss, _ = eval_batches(va)
+        if val_loss < best_val:
+            best_val, patience = val_loss, 0
+            _, best_test = eval_batches(te)
+        else:
+            patience += 1
+            if patience >= PATIENCE:
+                break
+    return best_test
+
+
+def _molecule_sets(seed, target):
+    graphs = random_molecule_graphs(n_graphs=128, min_nodes=6, max_nodes=18,
+                                    num_atom_types=N_ATOM,
+                                    num_bond_types=N_BOND, seed=seed,
+                                    target=target)
+    tr, va, te = graphs[:80], graphs[80:104], graphs[104:]
+    if target == "regression":
+        # a cleanly poolable graph-level target (mean atom type),
+        # z-normalized with TRAIN statistics — the reference's QM9 protocol
+        # (optuna_qm9.py:144-150). The generator's default target mixes in
+        # degree statistics that 80 training graphs cannot pin down, which
+        # makes BOTH frameworks plateau near the mean predictor and the
+        # parity comparison uninformative.
+        for g in graphs:
+            g["y"] = np.array([g["nodes"].astype(np.float32).mean()],
+                              np.float32)
+        ys = np.array([g["y"][0] for g in tr])
+        mu, sd = float(ys.mean()), float(ys.std() + 1e-8)
+        for g in graphs:
+            g["y"] = ((g["y"] - mu) / sd).astype(np.float32)
+    return tr, va, te
+
+
+def _jax_graphs(graphs, classification):
+    out = []
+    for g in graphs:
+        d = dict(g)
+        d["nodes"] = np.eye(N_ATOM, dtype=np.float32)[g["nodes"][:, 0]]
+        if classification:
+            d["edges"] = None
+        else:
+            d["edges"] = np.eye(N_BOND, dtype=np.float32)[g["edges"][:, 0]]
+        out.append(d)
+    return out
+
+
+def _jax_graph_train(model, tr, va, te, seed, classification):
+    spec = pad_spec_for(tr + va + te, BATCH)
+
+    def post(b):
+        y = b.y.astype(jnp.int32) if classification else b.y.astype(
+            jnp.float32)
+        if not classification and y.ndim == 2:
+            y = y[:, 0]
+        return b.replace(y=y)
+
+    tr_b = batch_loader(tr, spec, BATCH, shuffle=True, seed=seed,
+                        postprocess=post)
+    va_b = batch_loader(va, spec, BATCH, postprocess=post)
+    te_b = batch_loader(te, spec, BATCH, postprocess=post)
+    example = next(va_b())
+    variables = model.init({"params": jax.random.key(seed + 1)}, example)
+    tx = optax.adam(LR)
+    state = TrainState(params=variables["params"],
+                       buffers=variables.get("buffers", {}),
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    steps = (make_graph_cls_steps if classification
+             else make_graph_reg_steps)(model, tx)
+    res = train_graph_epochs(state, steps[0], steps[1], tr_b, va_b,
+                             EPOCHS, PATIENCE, jax.random.key(seed),
+                             test_batches=te_b,
+                             classification=classification)
+    return res["test_metric"]
+
+
+def test_e2e_graphcls_parity_vs_reference_torch():
+    """KAGIN graph classification: reference torch (their ekan.py) vs this
+    framework, identical molecules/protocol/hyperparameters, 5 paired
+    seeds."""
+    accs_t, accs_j = [], []
+    for seed in range(N_SEEDS):
+        tr, va, te = _molecule_sets(seed, "classification")
+        accs_t.append(_torch_graph_train(
+            TorchKAGINCls(N_ATOM, 2), tr, va, te, seed, True))
+        jtr, jva, jte = (_jax_graphs(s, True) for s in (tr, va, te))
+        model = GraphClassifier(conv_type="gin", architecture="kan",
+                                gnn_layers=2, num_features=N_ATOM,
+                                hidden_dim=HID, num_classes=2,
+                                hidden_layers=2, grid_size=GRID,
+                                spline_order=ORDER, dropout=0.0)
+        accs_j.append(_jax_graph_train(model, jtr, jva, jte, seed, True))
+    mt, mj = float(np.mean(accs_t)), float(np.mean(accs_j))
+    # both must beat the class prior decisively...
+    assert mt > 0.75 and mj > 0.75, (accs_t, accs_j)
+    # ...and agree within seed noise
+    assert abs(mt - mj) < 0.08, (accs_t, accs_j)
+
+
+def test_e2e_regression_parity_vs_reference_torch():
+    """KAGIN-GINE regression (ZINC-protocol L1, QM9-style encoders):
+    reference torch vs GraphRegressor, 5 paired seeds."""
+    maes_t, maes_j, base = [], [], []
+    for seed in range(N_SEEDS):
+        tr, va, te = _molecule_sets(seed, "regression")
+        # trivial baseline: predict the train mean
+        mu = float(np.mean([g["y"][0] for g in tr]))
+        base.append(float(np.mean([abs(g["y"][0] - mu) for g in te])))
+        maes_t.append(_torch_graph_train(
+            TorchKAGINReg(N_ATOM, N_BOND), tr, va, te, seed, False))
+        jtr, jva, jte = (_jax_graphs(s, False) for s in (tr, va, te))
+        model = GraphRegressor(conv_type="gin", architecture="kan",
+                               gnn_layers=2, num_node_features=N_ATOM,
+                               num_edge_features=N_BOND, hidden_dim=HID,
+                               num_targets=1, hidden_layers=2,
+                               grid_size=GRID, spline_order=ORDER,
+                               dropout=0.0, ogb_encoders=False)
+        maes_j.append(_jax_graph_train(model, jtr, jva, jte, seed, False))
+    mt, mj, mb = (float(np.mean(v)) for v in (maes_t, maes_j, base))
+    # both must clearly beat the mean predictor...
+    assert mt < 0.7 * mb and mj < 0.7 * mb, (maes_t, maes_j, base)
+    # ...and agree within seed noise (scaled by the baseline MAE)
+    assert abs(mt - mj) < 0.25 * mb, (maes_t, maes_j, base)
+
+
+# --------------------------------------------------------------- FastKAN ---
+
+class TorchFASTKAGCN(torch.nn.Module):
+    """Reference GFASTKAN_Nodes minus PyG: 2x {FASTKAGCN conv ->
+    BatchNorm1d} + FastKANLayer head (node_classification_clean/
+    models.py:68-74, 205-257); GCNConv math as in tests/test_e2e_parity.py."""
+
+    def __init__(self, fin, hidden, classes):
+        super().__init__()
+        self.lin1 = TorchFastKANLayer(fin, hidden, num_grids=GRID)
+        self.lin2 = TorchFastKANLayer(hidden, hidden, num_grids=GRID)
+        self.bias1 = torch.nn.Parameter(torch.zeros(hidden))
+        self.bias2 = torch.nn.Parameter(torch.zeros(hidden))
+        self.bn1 = torch.nn.BatchNorm1d(hidden)
+        self.bn2 = torch.nn.BatchNorm1d(hidden)
+        self.head = TorchFastKANLayer(hidden, classes, num_grids=GRID)
+
+    @staticmethod
+    def propagate(h, senders, receivers, n):
+        deg = torch.zeros(n).index_add_(
+            0, receivers, torch.ones(receivers.shape[0])) + 1.0
+        dinv = deg.rsqrt()
+        w = dinv[senders] * dinv[receivers]
+        out = torch.zeros_like(h).index_add_(0, receivers,
+                                             h[senders] * w[:, None])
+        return out + h * (dinv * dinv)[:, None]
+
+    def forward(self, x, senders, receivers):
+        n = x.shape[0]
+        h = self.propagate(self.lin1(x), senders, receivers, n) + self.bias1
+        h = self.bn1(h)
+        h = self.propagate(self.lin2(h), senders, receivers, n) + self.bias2
+        h = self.bn2(h)
+        return self.head(h)
+
+
+def test_e2e_fastkan_node_parity_vs_reference_torch():
+    """FASTKAGCN node classification: reference torch fastkan.py grafted
+    into GCN vs NodeClassifier(architecture='fastkan'), 5 paired seeds."""
+    from kagnn_tpu.train.experiments import train_node_total
+
+    d = community_node_graph(n_nodes=300, n_classes=3, num_features=10,
+                             avg_degree=8, seed=7)
+    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
+                     y=d["y"])
+    x = torch.tensor(d["nodes"])
+    y = torch.tensor(d["y"].astype(np.int64))
+    snd = torch.tensor(d["senders"].astype(np.int64))
+    rcv = torch.tensor(d["receivers"].astype(np.int64))
+    tr, va, te = (torch.tensor(d["masks"][k]) for k in
+                  ("train", "val", "test"))
+    ce = torch.nn.CrossEntropyLoss()
+
+    def train_torch(seed):
+        torch.manual_seed(seed)
+        model = TorchFASTKAGCN(d["nodes"].shape[1], HID,
+                               int(d["y"].max()) + 1)
+        opt = torch.optim.Adam(model.parameters(), lr=LR)
+        best_val, best_acc, patience = float("inf"), 0.0, 0
+        for _ in range(300):
+            model.train()
+            opt.zero_grad()
+            loss = ce(model(x, snd, rcv)[tr], y[tr])
+            loss.backward()
+            opt.step()
+            model.eval()
+            with torch.no_grad():
+                out = model(x, snd, rcv)
+                val = float(ce(out[va], y[va]))
+            if val < best_val:
+                best_val, patience = val, 0
+                best_acc = float((out[te].argmax(1) == y[te]).float().mean())
+            else:
+                patience += 1
+                if patience >= 60:
+                    break
+        return best_acc
+
+    def train_jax(seed):
+        model = NodeClassifier(conv_type="gcn", architecture="fastkan",
+                               mp_layers=2,
+                               num_features=d["nodes"].shape[1],
+                               hidden_channels=HID,
+                               num_classes=int(d["y"].max()) + 1,
+                               skip=False, grid_size=GRID, dropout=0.0)
+        cfg = {"lr": LR, "epochs": 300, "patience": 60}
+
+        def pad(m):
+            return jnp.asarray(np.concatenate(
+                [m, np.zeros(g.n_node_pad - m.shape[0], bool)]))
+
+        res = train_node_total(model, g, cfg, pad(d["masks"]["train"]),
+                               pad(d["masks"]["val"]),
+                               pad(d["masks"]["test"]),
+                               jax.random.key(seed))
+        return res["test_acc"]
+
+    accs_t = [train_torch(s) for s in range(N_SEEDS)]
+    accs_j = [train_jax(s) for s in range(N_SEEDS)]
+    mt, mj = float(np.mean(accs_t)), float(np.mean(accs_j))
+    assert mt > 0.6 and mj > 0.6, (accs_t, accs_j)
+    assert abs(mt - mj) < 0.08, (accs_t, accs_j)
