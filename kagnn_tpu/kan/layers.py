@@ -126,14 +126,15 @@ class KANLinear(nn.Module):
             g, eps = gin_graph
             from kagnn_tpu.ops import segment
 
-            fusable = (self.fused and segment.halo_state() is None
-                       and g.senders_perm is not None
+            fusable = (self.fused and g.senders_perm is not None
                        and x.dtype in (jnp.float32, jnp.bfloat16))
             if fusable:
-                from kagnn_tpu.pallas.gin_fused import gin_kan_fused
+                from kagnn_tpu.pallas.gin_fused import (gin_kan_fused,
+                                                        gin_kan_fused_halo)
 
-                out = gin_kan_fused(x, g, eps, grid, wb, ws,
-                                    self.spline_order)
+                fn = (gin_kan_fused if segment.halo_state() is None
+                      else gin_kan_fused_halo)
+                out = fn(x, g, eps, grid, wb, ws, self.spline_order)
                 return out.reshape(*orig_shape[:-1], self.out_features)
             # unfused fallback (CPU / halo mode): aggregate, then transform
             agg = segment.neighbor_sum(
@@ -284,11 +285,11 @@ class FastKANLayer(nn.Module):
 
             fusable = (self.fused and self.use_base_update
                        and self.use_layernorm and use_layernorm
-                       and segment.halo_state() is None
                        and g.senders_perm is not None
                        and x.dtype in (jnp.float32, jnp.bfloat16))
             if fusable:
-                from kagnn_tpu.pallas.gin_fastkan import gin_fastkan_fused
+                from kagnn_tpu.pallas.gin_fastkan import (
+                    gin_fastkan_fused, gin_fastkan_fused_halo)
 
                 if self.is_initializing():
                     _ = self.layernorm(x)  # materialize the layernorm params
@@ -298,9 +299,10 @@ class FastKANLayer(nn.Module):
                 if cd is not None:
                     lng, lnb, wb, bb = (a.astype(cd)
                                         for a in (lng, lnb, wb, bb))
-                ret = gin_fastkan_fused(
-                    x, g, eps, lng, lnb, sw, wb, bb, self.grid_min,
-                    self.grid_max, self.num_grids, self.denominator)
+                fn = (gin_fastkan_fused if segment.halo_state() is None
+                      else gin_fastkan_fused_halo)
+                ret = fn(x, g, eps, lng, lnb, sw, wb, bb, self.grid_min,
+                         self.grid_max, self.num_grids, self.denominator)
                 return ret.reshape(*orig_shape[:-1], self.output_dim)
             # unfused fallback (CPU / halo mode): aggregate, then transform
             agg = segment.neighbor_sum(

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from kagnn_tpu.pallas.spmm import vma_shape
+
 Array = jax.Array
 
 DEFAULT_TILE_N = 128
@@ -133,11 +135,14 @@ def _pad_rows(x: Array, tile: int):
     return x, n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def bspline_kan_matmul(x: Array, grid_kd: Array, wb_do: Array, ws_gdo: Array,
-                       spline_order: int, interpret: bool = False) -> Array:
+                       spline_order: int, interpret: bool = False,
+                       axis: str | None = None) -> Array:
     """x (N, D), grid_kd (K, D), wb_do (D, O), ws_gdo (n_basis, D, O)
-    -> (N, O). Full fused KANLinear forward."""
+    -> (N, O). Full fused KANLinear forward. `axis`: mesh axis the rows are
+    sharded over inside shard_map (weights get pvary'd in / their grads
+    psum'd out)."""
     return _fwd_impl(x, grid_kd, wb_do, ws_gdo, spline_order, interpret)
 
 
@@ -159,7 +164,7 @@ def _fwd_impl(x, grid_kd, wb_do, ws_gdo, k, interpret):
         ],
         out_specs=pl.BlockSpec((DEFAULT_TILE_N, O), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, O), x.dtype),
+        out_shape=vma_shape((rows, O), x.dtype, xp),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * D * O * (n_basis + 1)
             + rows * D * (K * k * 6 + K),
@@ -170,12 +175,12 @@ def _fwd_impl(x, grid_kd, wb_do, ws_gdo, k, interpret):
     return out[:n]
 
 
-def _vjp_fwd(x, grid_kd, wb_do, ws_gdo, k, interpret):
+def _vjp_fwd(x, grid_kd, wb_do, ws_gdo, k, interpret, axis):
     return _fwd_impl(x, grid_kd, wb_do, ws_gdo, k, interpret), (
         x, grid_kd, wb_do, ws_gdo)
 
 
-def _vjp_bwd(k, interpret, res, dout):
+def _vjp_bwd(k, interpret, axis, res, dout):
     x, grid_kd, wb_do, ws_gdo = res
     n_basis, D, O = ws_gdo.shape
     K = grid_kd.shape[0]
@@ -203,9 +208,9 @@ def _vjp_bwd(k, interpret, res, dout):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, D), x.dtype),
-            jax.ShapeDtypeStruct((D, O), wb_do.dtype),
-            jax.ShapeDtypeStruct((n_basis * D, O), ws_gdo.dtype),
+            vma_shape((rows, D), x.dtype, xp),
+            vma_shape((D, O), wb_do.dtype, xp),
+            vma_shape((n_basis * D, O), ws_gdo.dtype, xp),
         ),
         interpret=interpret,
     )(xp, grid_kd, wb_do, ws_gdo.reshape(n_basis * D, O), gp)
@@ -230,9 +235,13 @@ def kan_linear_fused(x: Array, grid: Array, base_weight: Array,
     base_weight (O, D); scaled_spline_weight (O, D, n_basis);
     grid (D, K) — the module's torch-layout knot buffer.
     """
+    from kagnn_tpu.ops import segment
+
     wb_do = base_weight.T  # (D, O)
     ws_gdo = jnp.transpose(scaled_spline_weight, (2, 1, 0))  # (n_basis, D, O)
     if interpret is None:
         interpret = not _on_tpu()
+    hs = segment.halo_state()
     return bspline_kan_matmul(x, grid.T, wb_do, ws_gdo, int(spline_order),
-                              bool(interpret))
+                              bool(interpret),
+                              hs.axis if hs is not None else None)

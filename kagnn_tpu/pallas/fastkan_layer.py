@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from kagnn_tpu.pallas.rbf_fused import (BWD_TILE_N, FWD_TILE_N, _centers,
                                          _pad_rows, _tile_for, _wide_basis)
 
+from kagnn_tpu.pallas.spmm import vma_shape
+
 Array = jax.Array
 
 
@@ -118,9 +120,10 @@ def _bwd_kernel(x_ref, lng_ref, lnb_ref, w_ref, wb_ref, g_ref,
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _layer_core(x, lng, lnb, w_gdo, wb_do, bb, grid_min, grid_max, num_grids,
-                denominator, eps, interpret):
+                denominator, eps, interpret, axis=None):
     return _layer_fwd_impl(x, lng, lnb, w_gdo, wb_do, bb, grid_min, grid_max,
                            num_grids, denominator, eps, interpret)
 
@@ -148,7 +151,7 @@ def _layer_fwd_impl(x, lng, lnb, w_gdo, wb_do, bb, grid_min, grid_max,
         ],
         out_specs=pl.BlockSpec((T, O), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, O), x.dtype),
+        out_shape=vma_shape((rows, O), x.dtype, xp),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * D * O * (num_grids + 1) + 8 * rows * D,
             bytes_accessed=4 * (rows * D + GD * O + D * O + rows * O),
@@ -159,14 +162,14 @@ def _layer_fwd_impl(x, lng, lnb, w_gdo, wb_do, bb, grid_min, grid_max,
 
 
 def _layer_vjp_fwd(x, lng, lnb, w_gdo, wb_do, bb, grid_min, grid_max,
-                   num_grids, denominator, eps, interpret):
+                   num_grids, denominator, eps, interpret, axis=None):
     out = _layer_fwd_impl(x, lng, lnb, w_gdo, wb_do, bb, grid_min, grid_max,
                           num_grids, denominator, eps, interpret)
     return out, (x, lng, lnb, w_gdo, wb_do)
 
 
 def _layer_vjp_bwd(grid_min, grid_max, num_grids, denominator, eps,
-                   interpret, res, dout):
+                   interpret, axis, res, dout):
     x, lng, lnb, w_gdo, wb_do = res
     centers = _centers(grid_min, grid_max, num_grids)
     inv_h = float(1.0 / denominator)
@@ -195,12 +198,12 @@ def _layer_vjp_bwd(grid_min, grid_max, num_grids, denominator, eps,
             full((1, O)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, D), x.dtype),
-            jax.ShapeDtypeStruct((1, D), lng.dtype),
-            jax.ShapeDtypeStruct((1, D), lnb.dtype),
-            jax.ShapeDtypeStruct((GD, O), w_gdo.dtype),
-            jax.ShapeDtypeStruct((D, O), wb_do.dtype),
-            jax.ShapeDtypeStruct((1, O), wb_do.dtype),
+            vma_shape((rows, D), x.dtype, xp),
+            vma_shape((1, D), lng.dtype, xp),
+            vma_shape((1, D), lnb.dtype, xp),
+            vma_shape((GD, O), w_gdo.dtype, xp),
+            vma_shape((D, O), wb_do.dtype, xp),
+            vma_shape((1, O), wb_do.dtype, xp),
         ),
         interpret=interpret,
     )(xp, lng, lnb, w_gdo, wb_do, gp)
@@ -234,10 +237,14 @@ def fastkan_layer_fused(x: Array, ln_scale: Array, ln_bias: Array,
     G = int(num_grids)
     w_gdo = jnp.transpose(spline_weight.reshape(O, D, G),
                           (2, 1, 0)).reshape(G * D, O)
+    from kagnn_tpu.ops import segment
+
     if interpret is None:
         interpret = not _on_tpu()
+    hs = segment.halo_state()
     return _layer_core(x, ln_scale.reshape(1, D), ln_bias.reshape(1, D),
                        w_gdo, jnp.transpose(base_weight),
                        base_bias.reshape(1, O), float(grid_min),
                        float(grid_max), G, float(denominator), float(eps),
-                       bool(interpret))
+                       bool(interpret),
+                       hs.axis if hs is not None else None)

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kagnn_tpu.pallas.spmm import ROWS_PER_BLOCK, _pad_to
+from kagnn_tpu.pallas.spmm import ROWS_PER_BLOCK, _pad_to, vma_shape
 
 # receiver blocks per grid step: larger groups than the generic SpMM
 # kernel (4) because at GAT's typical degree each 128-row block owns
@@ -311,8 +311,8 @@ def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
                           out_dtype=msgs.dtype),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((rows_out, hc_eff), msgs.dtype),
-            jax.ShapeDtypeStruct((rows_out, H), jnp.float32),
+            vma_shape((rows_out, hc_eff), msgs.dtype, msgs_p),
+            vma_shape((rows_out, H), jnp.float32, msgs_p),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * ep * ROWS_PER_BLOCK * hc_eff

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from kagnn_tpu.pallas.fastkan_layer import _layer_vjp_bwd, _ln_stats
 from kagnn_tpu.pallas.rbf_fused import _centers, _wide_basis
 from kagnn_tpu.pallas.spmm import (G_BLOCKS, ROWS_PER_BLOCK, _acc_dots,
-                                   _pad_to, sorted_segment_sum)
+                                   _pad_to, sorted_segment_sum, vma_shape)
 
 Array = jax.Array
 
@@ -170,8 +170,8 @@ def _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb, grid_min,
                           inv_h=inv_h, ln_eps=float(ln_eps)),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((rows_out, O), x.dtype),
-            jax.ShapeDtypeStruct((rows_out, d_in), x.dtype),
+            vma_shape((rows_out, O), x.dtype, msgs_p),
+            vma_shape((rows_out, d_in), x.dtype, msgs_p),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * ep * ROWS_PER_BLOCK * d_eff
@@ -219,7 +219,7 @@ def _gf_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
     # rematerialized in-kernel from z; pallas/fastkan_layer.py — its
     # residuals carry the layernorm affine as (1, D) rows)
     dz, dlng, dlnb, dw, dwb, dbb = _layer_vjp_bwd(
-        grid_min, grid_max, num_grids, denominator, ln_eps, interpret,
+        grid_min, grid_max, num_grids, denominator, ln_eps, interpret, None,
         (z, lng.reshape(1, d_in), lnb.reshape(1, d_in), w_gdo, wb_do), dout)
     dlng, dlnb, dbb = (dlng.reshape(d_in), dlnb.reshape(d_in),
                        dbb.reshape(-1))
@@ -234,6 +234,58 @@ def _gf_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
 
 
 _gin_fastkan.defvjp(_gf_fwd, _gf_bwd)
+
+
+# ------------------------------------------------- halo (node-sharded) ----
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+def _gin_fastkan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
+                     senders_sorted, params, eps, grid_min, grid_max,
+                     num_grids, denominator, ln_eps, interpret, axis):
+    """Node-sharded fused GIN+FastKAN: `ext` is the extended [local; halo]
+    sender table from a differentiable halo exchange."""
+    lng, lnb, w_gdo, wb_do, bb = params
+    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    out, _ = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
+                       grid_min, grid_max, num_grids, denominator, ln_eps,
+                       interpret)
+    return out
+
+
+def _gfe_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
+             senders_sorted, params, eps, grid_min, grid_max, num_grids,
+             denominator, ln_eps, interpret, axis):
+    lng, lnb, w_gdo, wb_do, bb = params
+    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    out, z = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
+                       grid_min, grid_max, num_grids, denominator, ln_eps,
+                       interpret)
+    return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
+                 lng, lnb, w_gdo, wb_do, ext.shape[0])
+
+
+def _gfe_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
+             interpret, axis, res, dout):
+    (z, receivers, edge_mask, perm, senders_sorted, lng, lnb, w_gdo, wb_do,
+     n_ext) = res
+    d_in = z.shape[1]
+    dz, dlng, dlnb, dw, dwb, dbb = _layer_vjp_bwd(
+        grid_min, grid_max, num_grids, denominator, ln_eps, interpret, None,
+        (z, lng.reshape(1, d_in), lnb.reshape(1, d_in), w_gdo, wb_do), dout)
+    dlng, dlnb, dbb = (dlng.reshape(d_in), dlnb.reshape(d_in),
+                       dbb.reshape(-1))
+    recv_by_sender = jnp.take(receivers, perm)
+    cot_e = jnp.take(dz, recv_by_sender, axis=0)
+    cot_e = cot_e * jnp.take(edge_mask, perm).astype(cot_e.dtype)[:, None]
+    dext = sorted_segment_sum(cot_e, senders_sorted, n_ext, interpret)
+    dx = (1.0 + eps) * dz
+    # weight grads stay per-shard partials (see gin_fused._gke_bwd)
+    return (dx, dext, None, None, None, None, None,
+            (dlng, dlnb, dw, dwb, dbb))
+
+
+_gin_fastkan_ext.defvjp(_gfe_fwd, _gfe_bwd)
 
 
 def _on_tpu() -> bool:
@@ -267,3 +319,31 @@ def gin_fastkan_fused(x: Array, g, eps: float, ln_scale: Array,
         (ln_scale, ln_bias, w_gdo, jnp.transpose(base_weight),
          base_bias), float(eps), float(grid_min), float(grid_max), G,
         float(denominator), float(ln_eps), bool(interpret))
+
+
+def gin_fastkan_fused_halo(x: Array, g, eps: float, ln_scale: Array,
+                           ln_bias: Array, spline_weight: Array,
+                           base_weight: Array, base_bias: Array,
+                           grid_min: float, grid_max: float, num_grids: int,
+                           denominator: float, ln_eps: float = 1e-5,
+                           interpret=None) -> Array:
+    """Node-sharded (shard_map) fused GIN+FastKAN over the halo-extended
+    sender table; gradients to halo rows flow back through the exchange's
+    AD transpose."""
+    from kagnn_tpu.ops import segment
+
+    ext = segment.halo_extend(x)
+    O = spline_weight.shape[0]
+    D = x.shape[-1]
+    G = int(num_grids)
+    w_gdo = jnp.transpose(spline_weight.reshape(O, D, G),
+                          (2, 1, 0)).reshape(G * D, O)
+    if interpret is None:
+        interpret = not _on_tpu()
+    axis = segment.halo_state().axis
+    return _gin_fastkan_ext(
+        x, ext, g.senders, g.receivers, g.edge_mask, g.senders_perm,
+        g.senders_sorted,
+        (ln_scale, ln_bias, w_gdo, jnp.transpose(base_weight), base_bias),
+        float(eps), float(grid_min), float(grid_max), G, float(denominator),
+        float(ln_eps), bool(interpret), axis)

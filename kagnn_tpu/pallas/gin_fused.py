@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kagnn_tpu.pallas.bspline_fused import _basis_ladder, _bwd_kernel
 from kagnn_tpu.pallas.spmm import (G_BLOCKS, ROWS_PER_BLOCK, _acc_dots,
-                                   _pad_to, sorted_segment_sum)
+                                   _pad_to, sorted_segment_sum, vma_shape)
 
 Array = jax.Array
 
@@ -174,8 +174,8 @@ def _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k, interpret):
                           n_basis=n_basis, n_knots=K, out_dtype=msgs.dtype),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((rows_out, O), x.dtype),
-            jax.ShapeDtypeStruct((rows_out, d_in), x.dtype),
+            vma_shape((rows_out, O), x.dtype, msgs_p),
+            vma_shape((rows_out, d_in), x.dtype, msgs_p),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * ep * ROWS_PER_BLOCK * d_eff
@@ -210,16 +210,15 @@ def _gk_fwd(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
                  grid_kd, wb_do, ws_gdo, x.shape[0])
 
 
-def _gk_bwd(eps, k, interpret, res, dout):
-    (z, receivers, edge_mask, perm, senders_sorted, grid_kd, wb_do, ws_gdo,
-     n) = res
+def _kan_bwd_on_z(z, dout, grid_kd, wb_do, ws_gdo, k, interpret):
+    """KANLinear backward on the saved aggregate (ladder rematerialized
+    in-kernel; same kernel as bspline_fused's VJP). Returns (dz, dwb, dws)
+    with dz unpadded."""
     n_basis, D, O = ws_gdo.shape
     K = grid_kd.shape[0]
-    # KANLinear backward on the saved aggregate (ladder rematerialized
-    # in-kernel; same kernel as bspline_fused's VJP)
     from kagnn_tpu.pallas.bspline_fused import _pad_rows, DEFAULT_TILE_N
 
-    zp, _ = _pad_rows(z, DEFAULT_TILE_N)
+    zp, n = _pad_rows(z, DEFAULT_TILE_N)
     gp, _ = _pad_rows(dout, DEFAULT_TILE_N)
     rows = zp.shape[0]
     dz, dwb, dws = pl.pallas_call(
@@ -243,13 +242,20 @@ def _gk_bwd(eps, k, interpret, res, dout):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, D), z.dtype),
-            jax.ShapeDtypeStruct((D, O), wb_do.dtype),
-            jax.ShapeDtypeStruct((n_basis * D, O), ws_gdo.dtype),
+            vma_shape((rows, D), z.dtype, zp),
+            vma_shape((D, O), wb_do.dtype, zp),
+            vma_shape((n_basis * D, O), ws_gdo.dtype, zp),
         ),
         interpret=interpret,
     )(zp, grid_kd, wb_do, ws_gdo.reshape(n_basis * D, O), gp)
-    dz = dz[:n]
+    return dz[:n], dwb, dws.reshape(n_basis, D, O)
+
+
+def _gk_bwd(eps, k, interpret, res, dout):
+    (z, receivers, edge_mask, perm, senders_sorted, grid_kd, wb_do, ws_gdo,
+     n) = res
+    dz, dwb, dws = _kan_bwd_on_z(z, dout, grid_kd, wb_do, ws_gdo, k,
+                                 interpret)
 
     # dx = (1+eps) dz + A^T dz over the sender-sorted copy — no scatter
     recv_by_sender = jnp.take(receivers, perm)
@@ -258,10 +264,55 @@ def _gk_bwd(eps, k, interpret, res, dout):
     dx_a = sorted_segment_sum(cot_e, senders_sorted, n, interpret)
     dx = (1.0 + eps) * dz + dx_a
     return (dx, None, None, None, None, None,
-            (jnp.zeros_like(grid_kd), dwb, dws.reshape(n_basis, D, O)))
+            (jnp.zeros_like(grid_kd), dwb, dws))
 
 
 _gin_kan.defvjp(_gk_fwd, _gk_bwd)
+
+
+# ------------------------------------------------- halo (node-sharded) ----
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def _gin_kan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
+                 senders_sorted, params, eps, k, interpret, axis):
+    """Fused GIN+KAN over a node SHARD: `x` (B, D) is the local rows,
+    `ext` (B + halo, D) the extended [local; halo] sender table (produced
+    by a differentiable halo exchange — its VJP routes the halo rows'
+    gradients back to their owner shards)."""
+    grid_kd, wb_do, ws_gdo = params
+    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    out, _ = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
+                       interpret)
+    return out
+
+
+def _gke_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
+             senders_sorted, params, eps, k, interpret, axis):
+    grid_kd, wb_do, ws_gdo = params
+    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    out, z = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
+                       interpret)
+    return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
+                 grid_kd, wb_do, ws_gdo, ext.shape[0])
+
+
+def _gke_bwd(eps, k, interpret, axis, res, dout):
+    (z, receivers, edge_mask, perm, senders_sorted, grid_kd, wb_do, ws_gdo,
+     n_ext) = res
+    dz, dwb, dws = _kan_bwd_on_z(z, dout, grid_kd, wb_do, ws_gdo, k,
+                                 interpret)
+    recv_by_sender = jnp.take(receivers, perm)
+    cot_e = jnp.take(dz, recv_by_sender, axis=0)
+    cot_e = cot_e * jnp.take(edge_mask, perm).astype(cot_e.dtype)[:, None]
+    dext = sorted_segment_sum(cot_e, senders_sorted, n_ext, interpret)
+    dx = (1.0 + eps) * dz
+    # weight grads stay per-shard partials — the halo step body all-reduces
+    # the whole grad tree once (legacy shard_map semantics, check_vma=False)
+    return (dx, dext, None, None, None, None, None,
+            (jnp.zeros_like(grid_kd), dwb, dws))
+
+
+_gin_kan_ext.defvjp(_gke_fwd, _gke_bwd)
 
 
 def _on_tpu() -> bool:
@@ -286,3 +337,26 @@ def gin_kan_fused(x: Array, g, eps: float, grid: Array, base_weight: Array,
     return _gin_kan(x, g.senders, g.receivers, g.edge_mask, g.senders_perm,
                     g.senders_sorted, (grid.T, wb_do, ws_gdo), float(eps),
                     int(spline_order), bool(interpret))
+
+
+def gin_kan_fused_halo(x: Array, g, eps: float, grid: Array,
+                       base_weight: Array, scaled_spline_weight: Array,
+                       spline_order: int, interpret=None) -> Array:
+    """Node-sharded (shard_map) fused GIN+KAN: ONE differentiable halo
+    exchange builds the extended sender table, then the same single-launch
+    aggregate+transform kernel runs on the shard; the backward's A^T dz
+    lands in extended space and flows back to owner shards through the
+    exchange's AD transpose (VERDICT round-2 item 7: halo mode and the
+    Pallas kernels compose)."""
+    from kagnn_tpu.ops import segment
+
+    ext = segment.halo_extend(x)
+    wb_do = base_weight.T
+    ws_gdo = jnp.transpose(scaled_spline_weight, (2, 1, 0))
+    if interpret is None:
+        interpret = not _on_tpu()
+    axis = segment.halo_state().axis
+    return _gin_kan_ext(x, ext, g.senders, g.receivers, g.edge_mask,
+                        g.senders_perm, g.senders_sorted,
+                        (grid.T, wb_do, ws_gdo), float(eps),
+                        int(spline_order), bool(interpret), axis)

@@ -23,6 +23,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from kagnn_tpu.pallas.spmm import vma_shape
+
 Array = jax.Array
 
 FWD_TILE_N = 1024  # measured best on v5e (tile sweep; PERFORMANCE.md)
@@ -130,7 +132,7 @@ def _rbf_fwd_impl(x, w_gdo, grid_min, grid_max, num_grids, denominator,
         ],
         out_specs=pl.BlockSpec((T, O), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_rows, O), x.dtype),
+        out_shape=vma_shape((np_rows, O), x.dtype, xp),
         cost_estimate=pl.CostEstimate(
             flops=2 * np_rows * D * O * G + 4 * np_rows * D * G,
             bytes_accessed=4 * (np_rows * D + G * D * O + np_rows * O),
@@ -175,8 +177,8 @@ def _rbf_vjp_bwd(grid_min, grid_max, num_grids, denominator, interpret,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((np_rows, D), x.dtype),
-            jax.ShapeDtypeStruct((G * D, O), w_gdo.dtype),
+            vma_shape((np_rows, D), x.dtype, xp),
+            vma_shape((G * D, O), w_gdo.dtype, xp),
         ),
         interpret=interpret,
     )(xp, w_gdo.reshape(G * D, O), gp)

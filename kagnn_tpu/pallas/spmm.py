@@ -135,6 +135,18 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, acc_ref, scratch, sems,
             out.astype(out_dtype))
 
 
+def vma_shape(shape, dtype, like: Array):
+    """ShapeDtypeStruct carrying the varying-manual-axes of `like` — inside
+    `shard_map(check_vma=True)` pallas_call outputs must declare how they
+    vary across mesh axes; outside shard_map vma is empty and this is a
+    plain ShapeDtypeStruct."""
+    try:
+        vma = jax.typeof(like).vma
+    except Exception:  # pragma: no cover
+        vma = frozenset()
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _pad_to(x: Array, m: int, axis: int = 0, fill=0):
     pad = (-x.shape[axis]) % m
     if pad == 0:
@@ -214,7 +226,7 @@ def _fwd_impl(msgs, receivers, num_segments, interpret, *,
                           g_blocks=G_BLOCKS, chunk_rows=CHUNK_ROWS,
                           dma_slots=dma_slots, out_dtype=msgs.dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows_out, d_eff), msgs.dtype),
+        out_shape=vma_shape((rows_out, d_eff), msgs.dtype, msgs_packed),
         cost_estimate=pl.CostEstimate(
             flops=2 * ep * ROWS_PER_BLOCK * d_eff * pack,
             bytes_accessed=msgs.dtype.itemsize * (ep * d_eff + rows_out * d_eff)
@@ -341,7 +353,7 @@ def sorted_segment_sum_narrow(vals: Array, receivers: Array,
         functools.partial(_narrow_kernel, k=k, g_blocks=g_blocks,
                           chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows_out, k), vals.dtype),
+        out_shape=vma_shape((rows_out, k), vals.dtype, vals_t),
         cost_estimate=pl.CostEstimate(
             flops=4 * ep * ROWS_PER_BLOCK * 8,
             bytes_accessed=4 * (ep * 8 + rows_out * k) + 4 * ep,

@@ -167,3 +167,42 @@ def test_eval_matches_single_device():
     acc_r = L.masked_accuracy(out, g.y.astype(jnp.int32), g.node_mask)
     np.testing.assert_allclose(float(loss_h), float(loss_r), rtol=1e-5)
     np.testing.assert_allclose(float(acc_h), float(acc_r), rtol=1e-6)
+
+
+@pytest.mark.parametrize("arch", ["kan", "fastkan"])
+def test_fused_gin_matches_single_device_in_halo(arch):
+    """The fused GIN kernels (gin_kan_fused_halo / gin_fastkan_fused_halo)
+    running INSIDE shard_map over the halo partition reproduce the
+    unsharded fused computation — loss and one-SGD-step params (VERDICT
+    round-2 item 7: halo mode and the Pallas kernels compose)."""
+    g = _graph(96, seed=5)
+    model = NodeClassifier(conv_type="gin", architecture=arch, mp_layers=2,
+                           num_features=6, hidden_channels=8, num_classes=3,
+                           skip=False, grid_size=4, dropout=0.0, fused=True)
+    key = jax.random.key(3)
+    tx = optax.sgd(1e-1)
+    state, _ = create_train_state(model, jax.random.key(0), g, tx)
+    mask = np.asarray(g.node_mask)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("graph",))
+    plan = build_halo_plan(g, 4)
+    assert plan.senders_perm is not None
+    step, _ = make_halo_node_step(model, tx, mesh, plan, g, mask)
+    s_halo, loss_halo = step(state, key)
+
+    def loss_fn(params):
+        variables = {"params": params, **(
+            {"buffers": state.buffers} if state.buffers else {}), **(
+            {"batch_stats": state.batch_stats} if state.batch_stats else {})}
+        out, _ = model.apply(variables, g, train=True,
+                             rngs={"dropout": key}, mutable=["batch_stats"])
+        return L.masked_softmax_cross_entropy(out, g.y, g.node_mask)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(state.params)
+    np.testing.assert_allclose(float(loss_halo), float(loss_ref), rtol=2e-5)
+    upd_ref = jax.tree.map(lambda p, dg: p - 1e-1 * dg, state.params,
+                           grads_ref)
+    flat_h, _ = jax.tree_util.tree_flatten(s_halo.params)
+    flat_r, _ = jax.tree_util.tree_flatten(upd_ref)
+    for a, b in zip(flat_h, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
