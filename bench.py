@@ -54,6 +54,7 @@ NODE_PATHS = {
     "kagin-bf16-reorder": ("gin", "kan", True, True, True, False),
     "gcn-kan-bf16": ("gcn", "kan", True, True, False, False),
     "gat-fastkan-bf16": ("gat", "fastkan", True, True, False, False),
+    "gin-fastkan-bf16": ("gin", "fastkan", True, True, False, False),
 }
 
 
@@ -141,10 +142,13 @@ def _measure_node_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
             "checksum": checksum}
 
 
-def _measure_graphcls(warmup: int = 1, iters: int = 5) -> dict:
+def _measure_graphcls(warmup: int = 1, iters: int = 5,
+                      native=None, prefetch: int = 2) -> dict:
     """Padded-minibatch graph classification (KAGIN/kan) through the native
     C++ batch assembler + host prefetch — the reference's DataLoader path
-    (graph_classification_utils.py:109-110) rebuilt TPU-side."""
+    (graph_classification_utils.py:109-110) rebuilt TPU-side. `native` /
+    `prefetch` select the loader variant so the assembler's win stays
+    regression-guarded (VERDICT round-2 item 8)."""
     _common_setup()
     import jax
     import jax.numpy as jnp
@@ -176,7 +180,8 @@ def _measure_graphcls(warmup: int = 1, iters: int = 5) -> dict:
 
     cpu = jax.local_devices(backend="cpu")[0]
     loader = batch_loader(graphs, spec, 256, shuffle=True, seed=0,
-                          postprocess=intify, native=None, prefetch=2)
+                          postprocess=intify, native=native,
+                          prefetch=prefetch)
     example = next(batch_loader(graphs, spec, 256, postprocess=intify,
                                 native=None)())
     with jax.default_device(cpu), segment.use_pallas_spmm(False):
@@ -239,6 +244,12 @@ def main():
     if path == "graphcls-minibatch":
         print(json.dumps(_measure_graphcls()))
         return
+    if path == "graphcls-python-loader":
+        print(json.dumps(_measure_graphcls(native=False, prefetch=0)))
+        return
+    if path == "graphcls-noprefetch":
+        print(json.dumps(_measure_graphcls(native=None, prefetch=0)))
+        return
     if path:
         print(json.dumps(_measure_node_path(path)))
         return
@@ -246,8 +257,9 @@ def main():
     # required paths (headline + baseline)
     results = {p: _run_subprocess(p) for p in ["xla", "pallas-fused-bf16"]}
     # secondary coverage rows: record errors without failing the headline
-    extra = ["gcn-kan-bf16", "gat-fastkan-bf16", "kagin-bf16-reorder",
-             "graphcls-minibatch"]
+    extra = ["gcn-kan-bf16", "gat-fastkan-bf16", "gin-fastkan-bf16",
+             "kagin-bf16-reorder", "graphcls-minibatch",
+             "graphcls-python-loader", "graphcls-noprefetch"]
     if os.environ.get("KAGNN_BENCH_F32_FUSED"):
         extra.insert(0, "pallas-fused")
     if os.environ.get("KAGNN_BENCH_FAST"):
@@ -283,6 +295,11 @@ def main():
         r = results["graphcls-minibatch"]
         detail["graphcls_graphs_per_s"] = round(r["graphs_per_s"], 1)
         detail["graphcls_sec_per_epoch"] = round(r["sec_per_epoch"], 5)
+    for variant, key in (("graphcls-python-loader", "graphcls_python"),
+                         ("graphcls-noprefetch", "graphcls_noprefetch")):
+        if variant in results:
+            detail[f"{key}_graphs_per_s"] = round(
+                results[variant]["graphs_per_s"], 1)
     if errors:
         detail["errors"] = errors
     print(json.dumps({

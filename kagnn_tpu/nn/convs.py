@@ -161,11 +161,18 @@ class GATConv(nn.Module):
         else:
             # single-device / replicated: the whole attention block (logits,
             # self-loop softmax, weighted aggregation) routes through the
-            # fused Pallas kernel on TPU — see ops/segment.gat_attention
+            # fused Pallas kernel on TPU — see ops/segment.gat_attention.
+            # The block-diagonal expansion of att_src lets the kernel
+            # recompute per-edge source logits from the message stream
+            # (asrc == h_flat @ amat), killing the narrow logit gathers.
             alpha_src = (h * att_src).sum(-1)  # (N, H)
             alpha_dst = (h * att_dst).sum(-1)
+            amat = (att_src[0][:, :, None]
+                    * jnp.eye(H, dtype=att_src.dtype)[:, None, :]
+                    ).reshape(H * C, H)
             out = segment.gat_attention(h.reshape(-1, H * C), alpha_src,
-                                        alpha_dst, g, self.negative_slope)
+                                        alpha_dst, g, self.negative_slope,
+                                        att_src_matrix=amat)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (H * C,))
             out = out + bias

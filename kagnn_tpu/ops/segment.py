@@ -415,7 +415,8 @@ def neighbor_sum_attn(x: Array, g, edge_weight: Array) -> Array:
 
 
 def gat_attention(h: Array, asrc: Array, adst: Array, g,
-                  negative_slope: float = 0.2) -> Array:
+                  negative_slope: float = 0.2,
+                  att_src_matrix: Array | None = None) -> Array:
     """The full GAT attention block: per-edge logits leaky_relu(asrc[j] +
     adst[i]) -> per-destination softmax (with the implicit self-loop edge)
     -> attention-weighted aggregation + self term. h (N, H*C), asrc/adst
@@ -445,7 +446,8 @@ def gat_attention(h: Array, asrc: Array, adst: Array, g,
         from kagnn_tpu.pallas.gat_fused import gat_attention_fused
 
         return gat_attention_fused(h, asrc, adst, g, negative_slope,
-                                   interpret)
+                                   interpret,
+                                   att_src_matrix=att_src_matrix)
     slope = negative_slope
     logits = (jnp.take(asrc, g.senders, axis=0)
               + jnp.take(adst, g.receivers, axis=0))

@@ -7,18 +7,33 @@ The round-2 GAT path ran 5 XLA segment/gather ops per conv, including a
 serialized scatter-max (`jax.ops.segment_max`) and two narrow (E, H)
 scatter-adds — 8x off the flagship. This kernel exploits the framework's
 receiver-sorted edge invariant (the edges of each 128-row destination block
-are contiguous) to stream the whole attention pipeline:
+are contiguous) to stream the whole attention pipeline. Crucially the
+LOGITS ARE COMPUTED IN-KERNEL — XLA row gathers cost ~10ns/row regardless
+of width (measured: a narrow (E,4) gather costs the same ~11-12 ms as the
+wide (E,256) message gather at arxiv scale), so the v1 design's per-edge
+logit preparation (two narrow gathers + an (H, E) stream) cost more than
+the whole kernel. Here the ONLY gather is the unavoidable wide message
+gather:
 
-  pass 1  stream the (H, E) logit chunks only (~E*H*4 bytes) and fold a
-          compare-select max per destination row — per-receiver logit max
-          without any scatter;
-  fold    the implicit self-loop logit joins the max, and initializes the
-          numerator/denominator accumulators with the self contribution;
-  pass 2  stream the pre-gathered messages once; per destination block the
-          softmax weight matrix W[r, e] = exp(l_e - max_r) * 1[recv_e == r]
-          is built in registers and consumed immediately by MXU matmuls
-          acc_h += W_h @ m_h, while the denominator accumulates as the row
-          sum of W_h. Per-edge softmax weights never exist in HBM.
+  * per-edge source terms  asrc_e = msgs @ A  (a tiny matmul on the already
+    -streamed message chunk; A maps message lanes to per-head logits);
+  * destination terms adst_r, the self logits and the per-row maxima are
+    all block-local (the destination block's rows ride the grid);
+  * pass 1 streams the messages once to fold per-row maxima of asrc
+    (exact: max_e leaky(a_e + b_r) = leaky(max_e a_e + b_r) by
+    monotonicity); the self-loop logit joins the max;
+  * pass 2 streams the messages again: per destination block the per-edge
+    shift mx_e and destination term adst_e are recovered with exact one-hot
+    matmuls (mx bf16-rounded at the source — softmax is shift-invariant as
+    long as every term uses the same rounded shift; adst split hi/lo), the
+    softmax weight row w_e = exp(leaky(asrc_e+adst_e) - mx_e) is built in
+    registers ((H, CHUNK) transcendentals only) and consumed immediately by
+    MXU matmuls acc_h += W_h @ m_h, with the denominator as the row sum.
+    Per-edge weights never exist in HBM.
+
+Invalid (padded) edges are excluded by rewriting their receiver to int32max
+(they then match no destination block) — one fused elementwise pass, no
+mask stream.
 
 The kernel emits out = acc / denom and the residual alpha = max + log(denom)
 (the per-node log-normalizer), from which the backward rematerializes any
@@ -27,11 +42,9 @@ edge weight as w_e = exp(l_e - alpha[recv_e]).
 Backward needs NO segment-softmax machinery: with S_r = <dout_r, out_r>
 per head, the softmax VJP collapses to dl_e = w_e * (dw_e - S[recv_e])
 (because sum_k w_k dw_k = <dout_r, sum_k w_k m_k> = S_r, self term
-included). The remaining reductions are
-  * dh (messages) and da_src: ONE sender-sorted segment-sum over the
-    concatenated (E, H*C + H) cotangent (pallas/spmm.py kernel);
-  * da_dst: one narrow receiver-sorted segment-sum (lane-packed spmm);
-so the entire GAT gradient is scatter-free.
+included). The remaining reductions are the sender-sorted wide segment-sum
+(dh) and two unpadded narrow segment-sums (da_src/da_dst) — the entire GAT
+gradient is scatter-free.
 
 Numerics: the weighted matmuls run in bf16 when the messages are bf16
 (mixed-precision path); for f32 messages both W and m are split into
@@ -49,17 +62,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kagnn_tpu.pallas.spmm import ROWS_PER_BLOCK, _pad_to, vma_shape
 
-# receiver blocks per grid step: larger groups than the generic SpMM
-# kernel (4) because at GAT's typical degree each 128-row block owns
-# <1 edge chunk — small groups leave the per-group DMA pipelines
-# latency-bound (2 passes x n_groups un-hidden first-DMA latencies).
-# 16 blows the 16MB VMEM budget at HC=256 (measured 28M); 8 fits.
+# receiver blocks per grid step (16 blows the 16MB VMEM budget at HC=256)
 GAT_G_BLOCKS = 8
 
 Array = jax.Array
 
 CHUNK = 1024
 NEG = -1e30
+IMAX = 2**31 - 1
 
 
 def _wdots(w, m, acc):
@@ -83,10 +93,14 @@ def _wdots(w, m, acc):
                                   preferred_element_type=jnp.float32))
 
 
-def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
-            out_ref, alpha_ref, m_scr, s_scr, acc_scr, lg_scr, msg_scr, sems,
-            msems, *, heads: int, h_pad: int, c_head: int, hc: int,
-            hc_eff: int, g_blocks: int, out_dtype):
+def _klky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, adst_ref, amat_ref,
+            out_ref, alpha_ref, m_scr, s_scr, acc_scr, msg_scr, msems, *,
+            heads: int, c_head: int, hc: int, hc_eff: int, g_blocks: int,
+            slope: float, out_dtype):
     H, C = heads, c_head
     g = pl.program_id(0)
     start = offsets_ref[g * g_blocks]
@@ -95,35 +109,37 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
     c1 = jax.lax.select(end > start, (end - 1) // CHUNK + 1, c0)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS_PER_BLOCK, CHUNK), 0)
-
-    def lg_dma(slot, c):
-        # h_pad (a multiple of 8) keeps the DMA slice sublane-aligned
-        return pltpu.make_async_copy(
-            lg_hbm.at[pl.ds(c * h_pad, h_pad), :], lg_scr.at[slot],
-            sems.at[slot])
+    ct_hc = (((0,), (1,)), ((), ()))  # contract message lanes
+    ct_r = (((0,), (0,)), ((), ()))   # contract destination rows
 
     def msg_dma(slot, c):
         return pltpu.make_async_copy(
             msgs_hbm.at[pl.ds(c * CHUNK, CHUNK), :], msg_scr.at[slot],
             msems.at[slot])
 
-    # ---- pass 1: per-destination-row logit max (logit chunks only) -------
+    def asrc_of(m):
+        a = amat_ref[...]
+        a = a.astype(m.dtype) if m.dtype == jnp.bfloat16 else a
+        return jax.lax.dot_general(
+            a, m, ct_hc, preferred_element_type=jnp.float32)  # (H, CHUNK)
+
+    # ---- pass 1: per-destination-row max of the source term --------------
     for sb in range(g_blocks):
         m_scr[sb] = jnp.full_like(m_scr[sb], NEG)
 
     @pl.when(c1 > c0)
     def _():
-        lg_dma(0, c0).start()
+        msg_dma(0, c0).start()
 
     def body_max(c, _):
         slot = (c - c0) % 2
 
         @pl.when(c + 1 < c1)
         def _():
-            lg_dma((c - c0 + 1) % 2, c + 1).start()
+            msg_dma((c - c0 + 1) % 2, c + 1).start()
 
-        lg_dma(slot, c).wait()
-        lg = lg_scr[slot]  # (H, CHUNK) f32
+        msg_dma(slot, c).wait()
+        asrc_e = asrc_of(msg_scr[slot])  # (H, CHUNK)
         ch_lo = c * CHUNK
         ch_hi = ch_lo + CHUNK
         for sb in range(g_blocks):
@@ -136,7 +152,7 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
                 ids = row_ids + b * ROWS_PER_BLOCK
                 onehot = recv_ref[c, :][None, :] == ids  # (R, CHUNK) bool
                 cur = jnp.concatenate(
-                    [jnp.max(jnp.where(onehot, lg[h, :][None, :], NEG),
+                    [jnp.max(jnp.where(onehot, asrc_e[h, :][None, :], NEG),
                              axis=1, keepdims=True) for h in range(H)],
                     axis=1)  # (R, H)
                 m_scr[sb] = jnp.maximum(m_scr[sb], cur)
@@ -148,28 +164,34 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
     # ---- fold the implicit self-loop into max / denom / numerator --------
     for sb in range(g_blocks):
         r0 = sb * ROWS_PER_BLOCK
-        sl = sl_ref[r0:r0 + ROWS_PER_BLOCK, :].astype(jnp.float32)  # (R, H)
-        mx = jnp.maximum(m_scr[sb], sl)
+        rows = x_ref[r0:r0 + ROWS_PER_BLOCK, :]
+        asrc_r = jax.lax.dot_general(
+            rows.astype(jnp.float32), amat_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (R, H)
+        adst_r = adst_ref[r0:r0 + ROWS_PER_BLOCK, :].astype(jnp.float32)
+        sl = _klky(asrc_r + adst_r, slope)
+        # max over {edges} via monotonicity: max_e leaky(a_e + b) =
+        # leaky(max_e a_e + b); then the self logit joins
+        mx = jnp.maximum(_klky(m_scr[sb] + adst_r, slope), sl)
         # round the shift to bf16 NOW so pass 2 can recover each edge's
         # shift exactly with a bf16 one-hot matmul; softmax is invariant to
-        # the shift as long as numerator (edges), self term and alpha all
-        # use this same rounded value
+        # the shift as long as every term uses this same rounded value
         mx = mx.astype(jnp.bfloat16).astype(jnp.float32)
         m_scr[sb] = mx
         es = jnp.exp(sl - mx)  # (R, H); isolated rows -> 1
         s_scr[sb] = es
-        hrows = h_ref[r0:r0 + ROWS_PER_BLOCK, :].astype(jnp.float32)
+        hrows = rows.astype(jnp.float32)
         es_wide = jnp.concatenate(
             [jnp.broadcast_to(es[:, h:h + 1], (ROWS_PER_BLOCK, C))
              for h in range(H)], axis=1)  # (R, HC)
         if hc_eff > hc:
+            # zero pad also kills any augmented lanes beyond the messages
             es_wide = jnp.pad(es_wide, ((0, 0), (0, hc_eff - hc)))
         acc_scr[sb] = es_wide * hrows
 
-    # ---- pass 2: softmax-weighted aggregation (messages + logits) --------
+    # ---- pass 2: softmax-weighted aggregation ----------------------------
     @pl.when(c1 > c0)
     def _():
-        lg_dma(0, c0).start()
         msg_dma(0, c0).start()
 
     def body_acc(c, _):
@@ -177,13 +199,11 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
 
         @pl.when(c + 1 < c1)
         def _():
-            lg_dma((c - c0 + 1) % 2, c + 1).start()
             msg_dma((c - c0 + 1) % 2, c + 1).start()
 
-        lg_dma(slot, c).wait()
         msg_dma(slot, c).wait()
-        lg = lg_scr[slot]   # (H, CHUNK) f32
-        m = msg_scr[slot]   # (CHUNK, hc_eff)
+        m = msg_scr[slot]        # (CHUNK, hc_eff)
+        asrc_e = asrc_of(m)      # (H, CHUNK) f32
         ch_lo = c * CHUNK
         ch_hi = ch_lo + CHUNK
         for sb in range(g_blocks):
@@ -193,20 +213,28 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
 
             @pl.when((ch_lo < b_end) & (ch_hi > b_start))
             def _():
+                r0 = sb * ROWS_PER_BLOCK
                 ids = row_ids + b * ROWS_PER_BLOCK
                 onehot = recv_ref[c, :][None, :] == ids
-                # per-EDGE shift via a tiny one-hot matmul: mx is bf16-
-                # rounded (see self fold), so onehot^T @ mx is exact, and
-                # exp runs on (H, CHUNK) instead of H broadcast (R, CHUNK)
-                # tiles — ~32x fewer transcendentals
                 oh_bf = onehot.astype(jnp.bfloat16)
+                # per-edge destination term (exact via hi/lo one-hot
+                # matmuls) and per-edge shift (exact: mx pre-rounded bf16)
+                adst_sb = adst_ref[r0:r0 + ROWS_PER_BLOCK, :].astype(
+                    jnp.float32)
+                hi = adst_sb.astype(jnp.bfloat16)
+                lo = (adst_sb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                adst_e = (jax.lax.dot_general(
+                    hi, oh_bf, ct_r, preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        lo, oh_bf, ct_r,
+                        preferred_element_type=jnp.float32))  # (H, CHUNK)
                 mxe = jax.lax.dot_general(
-                    m_scr[sb].astype(jnp.bfloat16), oh_bf,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (H, CHUNK)
-                # out-of-block edges get mxe = 0 -> exp(lg) may overflow to
-                # +inf; the select below drops them without producing nans
-                we = jnp.exp(lg[:H, :] - mxe)  # (H, CHUNK)
+                    m_scr[sb].astype(jnp.bfloat16), oh_bf, ct_r,
+                    preferred_element_type=jnp.float32)
+                lg = _klky(asrc_e + adst_e, slope)
+                # out-of-block edges get mxe/adst_e = 0 -> exp may overflow
+                # to +inf; the select below drops them without nans
+                we = jnp.exp(lg - mxe)  # (H, CHUNK)
                 nums = []
                 sums = []
                 for h in range(H):
@@ -241,37 +269,30 @@ def _kernel(offsets_ref, recv_ref, lg_hbm, msgs_hbm, h_ref, sl_ref,
             m_scr[sb] + jnp.log(s)).astype(alpha_ref.dtype)
 
 
-def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
-    """msgs (E, HC) pre-gathered h[senders]; logits (E, H) masked (-1e30 on
-    padded edges); receivers (E,) ascending; x_self (N, HC); self_logits
-    (N, H). Returns out (N, HC), alpha (N, H)."""
-    e, hc = msgs.shape
-    n = x_self.shape[0]
+def _fwd_impl(msgs, recv_m, x_aug, adst, amat, heads, hc, slope, interpret):
+    """msgs (E, HCa) pre-gathered x_aug[senders]; recv_m (E,) ascending with
+    invalid edges rewritten to int32max; x_aug (N, HCa) node table (messages
+    in lanes [0, hc), optionally augmented); adst (N, H); amat (HCa, H) with
+    asrc == x_aug @ amat. Returns out (N, hc), alpha (N, H)."""
+    e, hca = msgs.shape
+    n = x_aug.shape[0]
     H = heads
     C = hc // H
-    hc_eff = -(-hc // 128) * 128
+    hc_eff = -(-hca // 128) * 128
     msgs = _pad_to(msgs, hc_eff, axis=1)
     msgs_p = _pad_to(msgs, CHUNK)
-    recv_p = _pad_to(receivers.astype(jnp.int32), CHUNK,
-                     fill=jnp.iinfo(jnp.int32).max)
-    lg_p = _pad_to(logits.astype(jnp.float32), CHUNK, fill=NEG)
+    recv_p = _pad_to(recv_m.astype(jnp.int32), CHUNK, fill=IMAX)
     ep = msgs_p.shape[0]
     n_chunks = ep // CHUNK
-    # (E, H) -> (n_chunks * h_pad, CHUNK): chunk c's logits occupy rows
-    # [c*h_pad, c*h_pad + H) — h_pad rounds H to the 8-row sublane tile so
-    # the per-chunk DMA slice is aligned
-    h_pad = -(-H // 8) * 8
-    lg_rows = _pad_to(lg_p, h_pad, axis=1, fill=NEG)
-    lg_rows = lg_rows.reshape(n_chunks, CHUNK, h_pad).transpose(0, 2, 1)
-    lg_rows = lg_rows.reshape(n_chunks * h_pad, CHUNK)
 
     n_blocks = -(-n // ROWS_PER_BLOCK)
     n_groups = -(-n_blocks // GAT_G_BLOCKS)
     rows_out = n_groups * GAT_G_BLOCKS * ROWS_PER_BLOCK
-    x_p = _pad_to(_pad_to(x_self, hc_eff, axis=1), rows_out)
-    sl_p = _pad_to(self_logits.astype(jnp.float32), rows_out)
+    x_p = _pad_to(_pad_to(x_aug, hc_eff, axis=1), rows_out)
+    adst_p = _pad_to(adst.astype(jnp.float32), rows_out)
+    amat_p = _pad_to(amat.astype(jnp.float32), hc_eff)
     block_starts = jnp.searchsorted(
-        receivers,
+        recv_m,
         jnp.arange(n_groups * GAT_G_BLOCKS, dtype=jnp.int32) * ROWS_PER_BLOCK
     ).astype(jnp.int32)
     offsets = jnp.concatenate([block_starts, jnp.asarray([e], jnp.int32)])
@@ -282,12 +303,13 @@ def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
         in_specs=[
             pl.BlockSpec((n_chunks, CHUNK), lambda g, *_: (0, 0),
                          memory_space=pltpu.VMEM),   # receivers, chunked
-            pl.BlockSpec(memory_space=pl.ANY),       # logits stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),       # msgs stay in HBM
             pl.BlockSpec((GAT_G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
                          lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GAT_G_BLOCKS * ROWS_PER_BLOCK, H),
                          lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc_eff, H), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((GAT_G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
@@ -296,18 +318,16 @@ def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
                          lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),  # max
-            pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),  # denom
+            pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),
+            pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),
             pltpu.VMEM((GAT_G_BLOCKS, ROWS_PER_BLOCK, hc_eff), jnp.float32),
-            pltpu.VMEM((2, h_pad, CHUNK), jnp.float32),   # logit chunks
             pltpu.VMEM((2, CHUNK, hc_eff), msgs.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, alpha = pl.pallas_call(
-        functools.partial(_kernel, heads=H, h_pad=h_pad, c_head=C, hc=hc,
-                          hc_eff=hc_eff, g_blocks=GAT_G_BLOCKS,
+        functools.partial(_kernel, heads=H, c_head=C, hc=hc, hc_eff=hc_eff,
+                          g_blocks=GAT_G_BLOCKS, slope=float(slope),
                           out_dtype=msgs.dtype),
         grid_spec=grid_spec,
         out_shape=(
@@ -315,14 +335,14 @@ def _fwd_impl(msgs, logits, receivers, x_self, self_logits, heads, interpret):
             vma_shape((rows_out, H), jnp.float32, msgs_p),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ep * ROWS_PER_BLOCK * hc_eff
-            + 2 * ep * ROWS_PER_BLOCK * H,
-            bytes_accessed=msgs.dtype.itemsize * (ep * hc_eff
+            flops=2 * (2 * ep * ROWS_PER_BLOCK * hc_eff
+                       + 2 * ep * hc_eff * H),
+            bytes_accessed=msgs.dtype.itemsize * (2 * ep * hc_eff
                                                   + 2 * rows_out * hc_eff)
-            + 4 * (2 * ep * H + ep + rows_out * H),
-            transcendentals=ep * H),
+            + 4 * (ep + rows_out * H),
+            transcendentals=2 * ep * H),
         interpret=interpret,
-    )(offsets, recv_p.reshape(n_chunks, CHUNK), lg_rows, msgs_p, x_p, sl_p)
+    )(offsets, recv_p.reshape(n_chunks, CHUNK), msgs_p, x_p, adst_p, amat_p)
     return out[:n, :hc], alpha[:n]
 
 
@@ -339,37 +359,47 @@ def _head_expand(w, c_head):
     return jnp.repeat(w, c_head, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _gat_attn(h, asrc, adst, senders, receivers, edge_mask, senders_perm,
-              senders_sorted, heads, negative_slope, interpret):
-    out, _ = _gat_fwd_parts(h, asrc, adst, senders, receivers, edge_mask,
-                            heads, negative_slope, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _gat_attn(h, asrc, adst, amat, senders, receivers, edge_mask,
+              senders_perm, senders_sorted, heads, negative_slope,
+              interpret):
+    out, _ = _gat_fwd_parts(h, asrc, adst, amat, senders, receivers,
+                            edge_mask, heads, negative_slope, interpret)
     return out
 
 
-def _gat_fwd_parts(h, asrc, adst, senders, receivers, edge_mask, heads,
-                   negative_slope, interpret):
-    z = jnp.take(asrc, senders, axis=0) + jnp.take(adst, receivers, axis=0)
-    lg = _leaky(z.astype(jnp.float32), negative_slope)
-    lg = jnp.where(edge_mask[:, None], lg, NEG)
-    msgs = jnp.take(h, senders, axis=0)
-    sl = _leaky((asrc + adst).astype(jnp.float32), negative_slope)
-    out, alpha = _fwd_impl(msgs, lg, receivers, h, sl, heads, interpret)
-    return out, (msgs, alpha, sl)
+def _gat_fwd_parts(h, asrc, adst, amat, senders, receivers, edge_mask,
+                   heads, negative_slope, interpret):
+    hc = h.shape[1]
+    if amat is None:
+        # no logit matrix available (direct calls with free-standing
+        # asrc/adst): augment the node table with the asrc columns so the
+        # kernel's asrc_e = msgs @ amat identity still holds exactly
+        x_aug = jnp.concatenate([h, asrc.astype(h.dtype)], axis=1)
+        amat = jnp.concatenate(
+            [jnp.zeros((hc, heads), jnp.float32),
+             jnp.eye(heads, dtype=jnp.float32)], axis=0)
+    else:
+        x_aug = h
+    msgs = jnp.take(x_aug, senders, axis=0)
+    recv_m = jnp.where(edge_mask, receivers, IMAX)
+    out, alpha = _fwd_impl(msgs, recv_m, x_aug, adst, amat, heads, hc,
+                           negative_slope, interpret)
+    return out, (msgs, alpha)
 
 
-def _ga_fwd(h, asrc, adst, senders, receivers, edge_mask, senders_perm,
+def _ga_fwd(h, asrc, adst, amat, senders, receivers, edge_mask, senders_perm,
             senders_sorted, heads, negative_slope, interpret):
-    out, (msgs, alpha, sl) = _gat_fwd_parts(
-        h, asrc, adst, senders, receivers, edge_mask, heads, negative_slope,
-        interpret)
-    return out, (h, asrc, adst, senders, receivers, edge_mask, senders_perm,
-                 senders_sorted, msgs, out, alpha, sl)
+    out, (msgs, alpha) = _gat_fwd_parts(
+        h, asrc, adst, amat, senders, receivers, edge_mask, heads,
+        negative_slope, interpret)
+    return out, (h, asrc, adst, amat, senders, receivers, edge_mask,
+                 senders_perm, senders_sorted, msgs, out, alpha)
 
 
 def _ga_bwd(heads, negative_slope, interpret, res, dout):
-    (h, asrc, adst, senders, receivers, edge_mask, perm, senders_sorted,
-     msgs, out, alpha, sl) = res
+    (h, asrc, adst, amat, senders, receivers, edge_mask, perm,
+     senders_sorted, msgs, out, alpha) = res
     from kagnn_tpu.pallas.spmm import _fwd_impl as _segsum
     from kagnn_tpu.pallas.spmm import sorted_segment_sum_narrow
 
@@ -384,6 +414,7 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     # small (N, HC) node tables — never an (E, HC) edge table (measured 2x
     # slower per row at arxiv scale).
     wd = h.dtype
+    msgs_m = msgs[:, :hc]  # drop augmented lanes if present
 
     # S_r = <dout_r, out_r> per head — softmax-sum term, pure node space
     S = jnp.sum((dout * out).astype(f32).reshape(n, H, C), axis=2)  # (N, H)
@@ -394,7 +425,7 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     lg = jnp.where(edge_mask[:, None], _leaky(z, negative_slope), NEG)
     w = jnp.exp(lg - jnp.take(alpha, receivers, axis=0))          # (E, H) f32
     douted = jnp.take(dout, receivers, axis=0)                    # (E, HC) wd
-    dw = jnp.sum((douted * msgs).astype(f32).reshape(e, H, C), axis=2)
+    dw = jnp.sum((douted * msgs_m).astype(f32).reshape(e, H, C), axis=2)
     dl = w * (dw - jnp.take(S, receivers, axis=0))                # (E, H)
     dz = dl * _dleaky(z, negative_slope)                          # (E, H)
 
@@ -412,6 +443,7 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
 
     # self-loop terms
     zs = (asrc + adst).astype(f32)
+    sl = _leaky(zs, negative_slope)
     w_self = jnp.exp(sl - alpha)                                  # (N, H)
     dw_self = jnp.sum((dout * h).astype(f32).reshape(n, H, C), axis=2)
     dz_self = w_self * (dw_self - S) * _dleaky(zs, negative_slope)
@@ -420,7 +452,11 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
           + _head_expand(w_self, C) * dout.astype(f32)).astype(h.dtype)
     dasrc = (dasrc_e + dz_self).astype(asrc.dtype)
     dadst = (dadst_e + dz_self).astype(adst.dtype)
-    return dh, dasrc, dadst, None, None, None, None, None
+    # amat's direct cotangent is zero: the kernel consumes it only to
+    # recompute asrc values (asrc == x_aug @ amat by construction), and the
+    # full sensitivity flows through the `asrc` input
+    damat = None if amat is None else jnp.zeros_like(amat)
+    return dh, dasrc, dadst, damat, None, None, None, None, None
 
 
 _gat_attn.defvjp(_ga_fwd, _ga_bwd)
@@ -434,13 +470,19 @@ def _on_tpu() -> bool:
 
 
 def gat_attention_fused(h: Array, asrc: Array, adst: Array, g,
-                        negative_slope: float = 0.2,
-                        interpret=None) -> Array:
+                        negative_slope: float = 0.2, interpret=None,
+                        att_src_matrix: Array | None = None) -> Array:
     """Full GAT attention block over a receiver-sorted GraphBatch:
     logits -> per-destination softmax (with implicit self-loop) -> weighted
-    aggregation. h (N, H*C) with H = asrc.shape[1]; returns (N, H*C)."""
+    aggregation. h (N, H*C) with H = asrc.shape[1]; returns (N, H*C).
+
+    `att_src_matrix` (H*C, H): the linear map with asrc == h @ att_src_matrix
+    (GATConv's att_src parameter expanded block-diagonally). When given, the
+    kernel recomputes per-edge source logits from the message stream itself
+    — zero extra gathers; without it, the asrc columns ride the message
+    gather as augmented lanes."""
     if interpret is None:
         interpret = not _on_tpu()
-    return _gat_attn(h, asrc, adst, g.senders, g.receivers, g.edge_mask,
-                     g.senders_perm, g.senders_sorted, asrc.shape[1],
-                     float(negative_slope), bool(interpret))
+    return _gat_attn(h, asrc, adst, att_src_matrix, g.senders, g.receivers,
+                     g.edge_mask, g.senders_perm, g.senders_sorted,
+                     asrc.shape[1], float(negative_slope), bool(interpret))
