@@ -220,6 +220,74 @@ def _measure_graphcls(warmup: int = 1, iters: int = 5,
             "loss_finite": bool(np.isfinite(last))}
 
 
+def _measure_halo_1dev(warmup: int = 2, iters: int = 10) -> dict:
+    """Flagship KAGIN train step through the HALO partition machinery at
+    n_shards=1 on the real chip — bounds the partition tax (all_to_all on a
+    singleton mesh + extended-table bookkeeping) vs the unsharded
+    pallas-fused-bf16 row (VERDICT round-2 item 7)."""
+    _common_setup()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from kagnn_tpu.data.synthetic import arxiv_scale_graph
+    from kagnn_tpu.dist.halo import build_halo_plan, make_halo_node_step
+    from kagnn_tpu.dist.mesh import make_mesh
+    from kagnn_tpu.graphs import single_graph
+    from kagnn_tpu.models import NodeClassifier
+    from kagnn_tpu.ops import segment
+    from kagnn_tpu.train.loops import TrainState
+
+    d = arxiv_scale_graph(n_nodes=169_343, n_edges=1_166_243,
+                          num_features=128, n_classes=40)
+    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
+                     y=d["y"], edge_pad_multiple=1024)
+    mask = np.asarray(g.node_mask)
+
+    kw = dict(conv_type="gin", architecture="kan", mp_layers=3,
+              num_features=128, hidden_channels=64, num_classes=40,
+              grid_size=4, spline_order=3, skip=False, hidden_layers=2,
+              heads=4, dropout=0.0)
+    model = NodeClassifier(fused=True, compute_dtype=jnp.bfloat16, **kw)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu), segment.use_pallas_spmm(False):
+        tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
+                            nodes=np.zeros((8, 128), np.float32),
+                            y=np.zeros(8, np.int32))
+        variables = NodeClassifier(fused=False, **kw).init(
+            {"params": jax.random.key(0)}, tiny)
+    dev = jax.devices()[0]
+    variables = jax.tree.map(lambda a: jax.device_put(a, dev), variables)
+    tx = optax.adam(1e-3)
+    state = TrainState(params=variables["params"],
+                       buffers=variables.get("buffers", {}),
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    mesh = make_mesh((1,), ("graph",), devices=jax.devices()[:1])
+    plan = build_halo_plan(g, 1)
+    step, _ = make_halo_node_step(model, tx, mesh, plan, g, mask)
+    key = jax.random.key(7)
+    s_ = state
+    for _ in range(warmup):
+        s_, loss = step(s_, key)
+    float(loss)
+    float(jax.tree_util.tree_leaves(s_.params)[0].sum())
+    # params evolve every step, so no two executions are identical (the
+    # relay-cache defeat the other rows get from input perturbation)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key = jax.random.fold_in(key, 1)
+        s_, loss = step(s_, key)
+    float(loss)
+    float(jax.tree_util.tree_leaves(s_.params)[0].sum())
+    sec = (time.perf_counter() - t0) / iters
+    return {"sec_per_step": sec, "n_edges": int(g.n_edge),
+            "backend": jax.default_backend(),
+            "loss_finite": bool(np.isfinite(float(loss)))}
+
+
 class _nullctx:
     def __enter__(self):
         return self
@@ -250,6 +318,9 @@ def main():
     if path == "graphcls-noprefetch":
         print(json.dumps(_measure_graphcls(native=None, prefetch=0)))
         return
+    if path == "halo-1dev":
+        print(json.dumps(_measure_halo_1dev()))
+        return
     if path:
         print(json.dumps(_measure_node_path(path)))
         return
@@ -258,7 +329,7 @@ def main():
     results = {p: _run_subprocess(p) for p in ["xla", "pallas-fused-bf16"]}
     # secondary coverage rows: record errors without failing the headline
     extra = ["gcn-kan-bf16", "gat-fastkan-bf16", "gin-fastkan-bf16",
-             "kagin-bf16-reorder", "graphcls-minibatch",
+             "kagin-bf16-reorder", "halo-1dev", "graphcls-minibatch",
              "graphcls-python-loader", "graphcls-noprefetch"]
     if os.environ.get("KAGNN_BENCH_F32_FUSED"):
         extra.insert(0, "pallas-fused")

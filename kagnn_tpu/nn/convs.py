@@ -66,10 +66,17 @@ def fastkan_transform(num_grids: int = 4, fused: bool = False) -> TransformFacto
 
 
 def _degree_with_self_loops(g: GraphBatch, dtype) -> Array:
-    """d_i = 1 + #incoming valid edges (weight-1 edges)."""
-    ones = g.edge_mask.astype(dtype)
-    deg = segment.segment_sum(ones, g.receivers, g.n_node_pad,
-                              indices_are_sorted=True)
+    """d_i = 1 + #incoming valid edges.
+
+    Receivers are SORTED (batcher invariant), so in-degrees are adjacent
+    differences of searchsorted boundaries — a vectorized binary search
+    instead of the (E,) scatter-add XLA would serialize. Padded edges all
+    point at the last padded row (batcher invariant), so they only inflate
+    that masked row's count."""
+    bounds = jnp.searchsorted(
+        g.receivers, jnp.arange(g.n_node_pad + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    deg = (bounds[1:] - bounds[:-1]).astype(dtype)
     return deg + 1.0
 
 
@@ -88,21 +95,32 @@ class GCNConv(nn.Module):
         h = make(self.in_features, self.out_features)(x)
         dtype = h.dtype
 
+        # the symmetric norm FACTORIZES: D^-1/2 A D^-1/2 h =
+        # diag(dinv) . Agg . diag(dinv) h — scale h by dinv in NODE space,
+        # aggregate unweighted, scale the result by dinv. This removes both
+        # per-edge norm gathers (XLA row gathers cost ~10ns/row regardless
+        # of width, so two narrow (E,) gathers cost as much as the wide
+        # message gather). Padded edges point at the last padded row
+        # (batcher invariant), so the unweighted aggregate only pollutes
+        # that masked row.
         hs = segment.halo_state()
         if hs is not None:
             # node-sharded: degrees are data-independent, so the plan ships
-            # D^-1/2 in extended [local; halo] index space — no exchange here
+            # D^-1/2 in extended [local; halo] index space — no exchange
+            # here. Halo senders index the EXTENDED table; the halo
+            # neighbor_sum applies per-edge weights, so keep the masked
+            # edge-norm form there (boundary shards are small).
             dinv_sqrt = hs.dinv_ext.astype(dtype)
             dinv_local = dinv_sqrt[:hs.n_local]
+            norm = dinv_sqrt[g.senders] * dinv_local[g.receivers]
+            norm = jnp.where(g.edge_mask, norm, 0.0).astype(dtype)
+            out = segment.neighbor_sum(h, g, edge_weight=norm)
         else:
             deg = _degree_with_self_loops(g, dtype)
-            dinv_sqrt = dinv_local = jax.lax.rsqrt(deg)
-        # per-edge norm: d_j^-1/2 * d_i^-1/2 (zero on padded edges)
-        norm = dinv_sqrt[g.senders] * dinv_local[g.receivers]
-        norm = jnp.where(g.edge_mask, norm, 0.0).astype(dtype)
-        # fused gather+aggregate; backward runs scatter-free over the
-        # sender-sorted edge copy (norm is mask-derived, no gradient)
-        out = segment.neighbor_sum(h, g, edge_weight=norm)
+            dinv_local = jax.lax.rsqrt(deg)
+            h_scaled = h * dinv_local[:, None].astype(dtype)
+            out = segment.neighbor_sum(h_scaled, g)
+            out = out * dinv_local[:, None].astype(dtype)
         # implicit self-loop: weight d_i^-1
         out = out + h * (dinv_local * dinv_local)[:, None].astype(dtype)
         if self.use_bias:

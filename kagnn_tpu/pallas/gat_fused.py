@@ -401,7 +401,6 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     (h, asrc, adst, amat, senders, receivers, edge_mask, perm,
      senders_sorted, msgs, out, alpha) = res
     from kagnn_tpu.pallas.spmm import _fwd_impl as _segsum
-    from kagnn_tpu.pallas.spmm import sorted_segment_sum_narrow
 
     n, hc = h.shape
     e = senders.shape[0]
@@ -429,17 +428,20 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     dl = w * (dw - jnp.take(S, receivers, axis=0))                # (E, H)
     dz = dl * _dleaky(z, negative_slope)                          # (E, H)
 
-    # da_dst / da_src: unpadded narrow segment-sum kernels (receiver order
-    # and sender order); dh (messages): gather dout straight in SENDER
-    # order (receivers[perm] indexes the N-table) + one wide segment-sum —
-    # all scatter-free
-    dadst_e = sorted_segment_sum_narrow(dz, receivers, n, interpret)
-    dasrc_e = sorted_segment_sum_narrow(jnp.take(dz, perm, axis=0),
-                                        senders_sorted, n, interpret)
+    # dh (messages) + da_src in ONE sender-sorted wide segment-sum (dz
+    # rides as extra lanes — the lane pad costs ~1-2 ms of stream where a
+    # separate narrow kernel pays a ~7 ms (E,H) transpose); da_dst through
+    # the lane-padded wide kernel in the working dtype for the same reason
+    # — all scatter-free
+    dadst_e = _segsum(dz.astype(wd), receivers, n, interpret).astype(f32)
     recv_by_sender = jnp.take(receivers, perm)
     cot_s = (_head_expand(jnp.take(w, perm, axis=0), C).astype(wd)
              * jnp.take(dout, recv_by_sender, axis=0))            # (E, HC) wd
-    dh_msgs = _segsum(cot_s, senders_sorted, n, interpret)
+    cot_s = jnp.concatenate(
+        [cot_s, jnp.take(dz, perm, axis=0).astype(wd)], axis=1)  # (E, HC+H)
+    summed = _segsum(cot_s, senders_sorted, n, interpret)
+    dh_msgs = summed[:, :hc]
+    dasrc_e = summed[:, hc:hc + H].astype(f32)
 
     # self-loop terms
     zs = (asrc + adst).astype(f32)
