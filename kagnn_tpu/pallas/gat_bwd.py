@@ -1,0 +1,415 @@
+"""Fused GAT attention BACKWARD kernels — gather-minimal.
+
+The XLA composition backward (gat_fused._ga_bwd v1) is row-gather bound:
+TPU row gathers cost ~10ns/row regardless of width, and the backward needed
+edge-space views of z, alpha, S, dout (receiver order) plus w, dz, dout
+(sender order) — ~6 row passes over E=1.2M edges. These two kernels reduce
+the whole gradient to ONE wide row gather:
+
+  * `gat_bwd_dadst` (receiver-oriented, ZERO gathers): streams the SAME
+    pre-gathered message array the forward used (saved residual) through
+    the receiver-block grid; dout/adst/alpha/S are destination-block-local,
+    per-edge views come from exact one-hot matmuls (f32 via hi/lo bf16
+    splits), asrc_e = msgs @ A in-kernel. Emits the node-space
+    da_dst = sum_{e->r} dz_e accumulated per destination block.
+
+  * `gat_bwd_sender` (transpose-oriented, ONE gather): the same kernel
+    structure run over SENDER-sorted edges. The per-edge receiver-side
+    values (dout, adst, alpha, S) arrive as one streamed table gathered at
+    receivers[perm] (a single wide row pass; the three narrow node arrays
+    ride as hi/lo bf16 lane pairs, exact on reconstruction); messages and
+    asrc are SOURCE-block-local (one-hot selects of the x block). Emits
+    node-space dh_msgs = sum_{e: src=s} w_e*dout_e and
+    da_src = sum_{e: src=s} dz_e per source block.
+
+Edge weights are rematerialized as w_e = exp(lg_e - alpha_e) with the
+exp argument clamped at +80: invalid (padded) edges match no block, so
+their garbage lanes must stay FINITE for the 0*x one-hot contraction to
+vanish (inf*0 = nan).
+
+The derivation (see gat_fused.py): dl_e = w_e (dw_e - S_r) with
+S_r = <dout_r, out_r>, dw_e = <dout_r, m_e>; dz = dl * leaky'(z).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kagnn_tpu.pallas.spmm import ROWS_PER_BLOCK, _pad_to, vma_shape
+
+Array = jax.Array
+
+CHUNK = 1024
+G_BLOCKS = 8
+CLAMP = 80.0
+
+
+def _hilo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _sel_rows(oh_bf, block_f32):
+    """Exact (CHUNK, k) per-edge view of an f32 (R, k) block: hi/lo one-hot
+    contraction over the row axis."""
+    hi, lo = _hilo(block_f32)
+    dn = (((0,), (0,)), ((), ()))
+    return (jax.lax.dot_general(oh_bf, hi, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(oh_bf, lo, dn,
+                                  preferred_element_type=jnp.float32))
+
+
+def _sel_rows_any(oh_bf, block):
+    """(CHUNK, k) per-edge view of a block; single matmul for bf16 blocks,
+    hi/lo for f32."""
+    if block.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            oh_bf, block, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return _sel_rows(oh_bf, block)
+
+
+def _acc_rows(oh_bf, vals_f32, acc):
+    """acc (R, k) += onehot @ vals (CHUNK, k), exact via hi/lo."""
+    hi, lo = _hilo(vals_f32)
+    dn = (((1,), (0,)), ((), ()))
+    return (acc
+            + jax.lax.dot_general(oh_bf, hi, dn,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(oh_bf, lo, dn,
+                                  preferred_element_type=jnp.float32))
+
+
+def _head_reduce(prod, heads, c_head):
+    """(CHUNK, H*C) -> (CHUNK, H): per-head lane-group sums."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, prod.shape, 1) // c_head
+    return jnp.concatenate(
+        [jnp.sum(jnp.where(lane == h, prod, 0.0), axis=1, keepdims=True)
+         for h in range(heads)], axis=1)
+
+
+def _head_expand_k(w, c_head, heads):
+    """(CHUNK, H) -> (CHUNK, H*C)."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(w[:, h:h + 1], (w.shape[0], c_head))
+         for h in range(heads)], axis=1)
+
+
+def _klky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _dklky(x, slope):
+    return jnp.where(x >= 0, 1.0, slope)
+
+
+# --------------------------------------------------------------------------
+# receiver-oriented: da_dst (zero gathers)
+# --------------------------------------------------------------------------
+
+def _dadst_kernel(offsets_ref, recv_ref, msgs_hbm, dout_ref, adst_ref,
+                  alpha_ref, s_ref, amat_ref, out_ref, acc_ref, msg_scr,
+                  msems, *, heads: int, c_head: int, hc: int, hc_eff: int,
+                  g_blocks: int, slope: float):
+    H, C = heads, c_head
+    g = pl.program_id(0)
+    start = offsets_ref[g * g_blocks]
+    end = offsets_ref[g * g_blocks + g_blocks]
+    c0 = start // CHUNK
+    c1 = jax.lax.select(end > start, (end - 1) // CHUNK + 1, c0)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS_PER_BLOCK, CHUNK), 0)
+
+    def msg_dma(slot, c):
+        return pltpu.make_async_copy(
+            msgs_hbm.at[pl.ds(c * CHUNK, CHUNK), :], msg_scr.at[slot],
+            msems.at[slot])
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c1 > c0)
+    def _():
+        msg_dma(0, c0).start()
+
+    def body(c, _):
+        slot = (c - c0) % 2
+
+        @pl.when(c + 1 < c1)
+        def _():
+            msg_dma((c - c0 + 1) % 2, c + 1).start()
+
+        msg_dma(slot, c).wait()
+        m = msg_scr[slot]  # (CHUNK, hc_eff)
+        a = amat_ref[...]
+        a = a.astype(m.dtype) if m.dtype == jnp.bfloat16 else a
+        asrc_e = jax.lax.dot_general(
+            m, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (CHUNK, H)
+        ch_lo = c * CHUNK
+        ch_hi = ch_lo + CHUNK
+        for sb in range(g_blocks):
+            b = g * g_blocks + sb
+            b_start = offsets_ref[b]
+            b_end = offsets_ref[b + 1]
+
+            @pl.when((ch_lo < b_end) & (ch_hi > b_start))
+            def _():
+                r0 = sb * ROWS_PER_BLOCK
+                ids = row_ids + b * ROWS_PER_BLOCK
+                onehot = recv_ref[c, :][None, :] == ids
+                oh_bf = onehot.astype(jnp.bfloat16)
+                adst_e = _sel_rows(oh_bf, adst_ref[r0:r0 + ROWS_PER_BLOCK, :])
+                alpha_e = _sel_rows(oh_bf,
+                                    alpha_ref[r0:r0 + ROWS_PER_BLOCK, :])
+                s_e = _sel_rows(oh_bf, s_ref[r0:r0 + ROWS_PER_BLOCK, :])
+                dout_e = _sel_rows_any(oh_bf,
+                                       dout_ref[r0:r0 + ROWS_PER_BLOCK, :])
+                z = asrc_e + adst_e
+                lg = _klky(z, slope)
+                w = jnp.exp(jnp.minimum(lg - alpha_e, CLAMP))  # (CHUNK, H)
+                prod = dout_e * m.astype(jnp.float32)
+                dw = _head_reduce(prod[:, :hc], H, C)          # (CHUNK, H)
+                dz = w * (dw - s_e) * _dklky(z, slope)
+                acc_ref[sb] = _acc_rows(oh_bf, dz, acc_ref[sb])
+
+        return 0
+
+    jax.lax.fori_loop(c0, c1, body, 0)
+    for sb in range(g_blocks):
+        out_ref[sb * ROWS_PER_BLOCK:(sb + 1) * ROWS_PER_BLOCK, :] = (
+            acc_ref[sb])
+
+
+def gat_bwd_dadst(msgs, recv_m, dout, adst, alpha, S, amat, heads, hc,
+                  slope, interpret=False):
+    """da_dst (N, H) = sum over incoming edges of dz — zero gathers (msgs is
+    the forward's saved pre-gathered residual, receiver-sorted)."""
+    e, hca = msgs.shape
+    n = dout.shape[0]
+    H = heads
+    C = hc // H
+    hc_eff = -(-hca // 128) * 128
+    msgs_p = _pad_to(_pad_to(msgs, hc_eff, axis=1), CHUNK)
+    recv_p = _pad_to(recv_m.astype(jnp.int32), CHUNK, fill=2**31 - 1)
+    ep = msgs_p.shape[0]
+    n_chunks = ep // CHUNK
+
+    n_blocks = -(-n // ROWS_PER_BLOCK)
+    n_groups = -(-n_blocks // G_BLOCKS)
+    rows_out = n_groups * G_BLOCKS * ROWS_PER_BLOCK
+    dout_p = _pad_to(_pad_to(dout, hc_eff, axis=1), rows_out)
+    adst_p = _pad_to(adst.astype(jnp.float32), rows_out)
+    alpha_p = _pad_to(alpha.astype(jnp.float32), rows_out)
+    s_p = _pad_to(S.astype(jnp.float32), rows_out)
+    amat_p = _pad_to(amat.astype(jnp.float32), hc_eff)
+    block_starts = jnp.searchsorted(
+        recv_m,
+        jnp.arange(n_groups * G_BLOCKS, dtype=jnp.int32) * ROWS_PER_BLOCK
+    ).astype(jnp.int32)
+    offsets = jnp.concatenate([block_starts, jnp.asarray([e], jnp.int32)])
+
+    blockspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=[
+            blockspec((n_chunks, CHUNK), lambda g, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
+                      lambda g, *_: (g, 0)),
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, H), lambda g, *_: (g, 0)),
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, H), lambda g, *_: (g, 0)),
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, H), lambda g, *_: (g, 0)),
+            blockspec((hc_eff, H), lambda g, *_: (0, 0)),
+        ],
+        out_specs=blockspec((G_BLOCKS * ROWS_PER_BLOCK, H),
+                            lambda g, *_: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),
+            pltpu.VMEM((2, CHUNK, hc_eff), msgs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_dadst_kernel, heads=H, c_head=C, hc=hc,
+                          hc_eff=hc_eff, g_blocks=G_BLOCKS,
+                          slope=float(slope)),
+        grid_spec=grid_spec,
+        out_shape=vma_shape((rows_out, H), jnp.float32, msgs_p),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ep * ROWS_PER_BLOCK * hc_eff,
+            bytes_accessed=msgs.dtype.itemsize * ep * hc_eff
+            + 4 * (ep + 2 * rows_out * hc_eff),
+            transcendentals=ep * H),
+        interpret=interpret,
+    )(offsets, recv_p.reshape(n_chunks, CHUNK), msgs_p, dout_p, adst_p,
+      alpha_p, s_p, amat_p)
+    return out[:n]
+
+
+# --------------------------------------------------------------------------
+# sender-oriented (transpose): dh_msgs + da_src (one gather)
+# --------------------------------------------------------------------------
+
+def _sender_kernel(offsets_ref, snd_ref, t_hbm, x_ref, amat_ref, dh_ref,
+                   dasrc_ref, acc_dh, acc_da, t_scr, tsems, *, heads: int,
+                   c_head: int, hc: int, hc_eff: int, t_eff: int,
+                   g_blocks: int, slope: float):
+    H, C = heads, c_head
+    g = pl.program_id(0)
+    start = offsets_ref[g * g_blocks]
+    end = offsets_ref[g * g_blocks + g_blocks]
+    c0 = start // CHUNK
+    c1 = jax.lax.select(end > start, (end - 1) // CHUNK + 1, c0)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS_PER_BLOCK, CHUNK), 0)
+
+    def t_dma(slot, c):
+        return pltpu.make_async_copy(
+            t_hbm.at[pl.ds(c * CHUNK, CHUNK), :], t_scr.at[slot],
+            tsems.at[slot])
+
+    acc_dh[...] = jnp.zeros_like(acc_dh)
+    acc_da[...] = jnp.zeros_like(acc_da)
+
+    @pl.when(c1 > c0)
+    def _():
+        t_dma(0, c0).start()
+
+    def body(c, _):
+        slot = (c - c0) % 2
+
+        @pl.when(c + 1 < c1)
+        def _():
+            t_dma((c - c0 + 1) % 2, c + 1).start()
+
+        t_dma(slot, c).wait()
+        t = t_scr[slot]  # (CHUNK, t_eff): [dout | adst hi lo | alpha hi lo
+        #                                   | S hi lo] at receivers[perm]
+        dout_e = t[:, :hc].astype(jnp.float32)
+        nb = hc
+        adst_e = (t[:, nb:nb + H].astype(jnp.float32)
+                  + t[:, nb + H:nb + 2 * H].astype(jnp.float32))
+        alpha_e = (t[:, nb + 2 * H:nb + 3 * H].astype(jnp.float32)
+                   + t[:, nb + 3 * H:nb + 4 * H].astype(jnp.float32))
+        s_e = (t[:, nb + 4 * H:nb + 5 * H].astype(jnp.float32)
+               + t[:, nb + 5 * H:nb + 6 * H].astype(jnp.float32))
+        ch_lo = c * CHUNK
+        ch_hi = ch_lo + CHUNK
+        for sb in range(g_blocks):
+            b = g * g_blocks + sb
+            b_start = offsets_ref[b]
+            b_end = offsets_ref[b + 1]
+
+            @pl.when((ch_lo < b_end) & (ch_hi > b_start))
+            def _():
+                r0 = sb * ROWS_PER_BLOCK
+                ids = row_ids + b * ROWS_PER_BLOCK
+                onehot = snd_ref[c, :][None, :] == ids
+                oh_bf = onehot.astype(jnp.bfloat16)
+                x_block = x_ref[r0:r0 + ROWS_PER_BLOCK, :]
+                # per-edge messages and source terms from the SOURCE block
+                msgs_e = _sel_rows_any(oh_bf, x_block)  # (CHUNK, hc_eff) f32
+                asrc_b = jax.lax.dot_general(
+                    x_block.astype(jnp.float32), amat_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (R, H)
+                asrc_e = _sel_rows(oh_bf, asrc_b)        # (CHUNK, H)
+                z = asrc_e + adst_e
+                lg = _klky(z, slope)
+                w = jnp.exp(jnp.minimum(lg - alpha_e, CLAMP))
+                dw = _head_reduce(dout_e * msgs_e[:, :hc], H, C)
+                dz = w * (dw - s_e) * _dklky(z, slope)
+                cot = _head_expand_k(w, C, H) * dout_e
+                if hc_eff > hc:
+                    cot = jnp.pad(cot, ((0, 0), (0, hc_eff - hc)))
+                acc_dh[sb] = _acc_rows(oh_bf, cot, acc_dh[sb])
+                acc_da[sb] = _acc_rows(oh_bf, dz, acc_da[sb])
+
+        return 0
+
+    jax.lax.fori_loop(c0, c1, body, 0)
+    for sb in range(g_blocks):
+        r0 = sb * ROWS_PER_BLOCK
+        dh_ref[r0:r0 + ROWS_PER_BLOCK, :] = acc_dh[sb]
+        dasrc_ref[r0:r0 + ROWS_PER_BLOCK, :] = acc_da[sb]
+
+
+def gat_bwd_sender(t_table, senders_sorted_m, x_aug, amat, heads, hc, slope,
+                   interpret=False):
+    """dh_msgs (N, hc) and da_src (N, H) accumulated per SOURCE block.
+
+    t_table (E, hc + 6H): the per-edge receiver-side values in sender-sorted
+    edge order — build as take(T, receivers[perm]) with
+    T = [dout | hi/lo(adst) | hi/lo(alpha) | hi/lo(S)] (ONE wide row pass).
+    senders_sorted_m: ascending source ids with invalid edges at int32max.
+    """
+    e, t_lanes = t_table.shape
+    n, hca = x_aug.shape
+    H = heads
+    C = hc // H
+    hc_eff = -(-hca // 128) * 128
+    t_eff = -(-t_lanes // 128) * 128
+    t_p = _pad_to(_pad_to(t_table, t_eff, axis=1), CHUNK)
+    snd_p = _pad_to(senders_sorted_m.astype(jnp.int32), CHUNK,
+                    fill=2**31 - 1)
+    ep = t_p.shape[0]
+    n_chunks = ep // CHUNK
+
+    n_blocks = -(-n // ROWS_PER_BLOCK)
+    n_groups = -(-n_blocks // G_BLOCKS)
+    rows_out = n_groups * G_BLOCKS * ROWS_PER_BLOCK
+    x_p = _pad_to(_pad_to(x_aug, hc_eff, axis=1), rows_out)
+    amat_p = _pad_to(amat.astype(jnp.float32), hc_eff)
+    block_starts = jnp.searchsorted(
+        senders_sorted_m,
+        jnp.arange(n_groups * G_BLOCKS, dtype=jnp.int32) * ROWS_PER_BLOCK
+    ).astype(jnp.int32)
+    offsets = jnp.concatenate([block_starts, jnp.asarray([e], jnp.int32)])
+
+    blockspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=[
+            blockspec((n_chunks, CHUNK), lambda g, *_: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
+                      lambda g, *_: (g, 0)),
+            blockspec((hc_eff, H), lambda g, *_: (0, 0)),
+        ],
+        out_specs=(
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
+                      lambda g, *_: (g, 0)),
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, H), lambda g, *_: (g, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, hc_eff), jnp.float32),
+            pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),
+            pltpu.VMEM((2, CHUNK, t_eff), t_table.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    dh, dasrc = pl.pallas_call(
+        functools.partial(_sender_kernel, heads=H, c_head=C, hc=hc,
+                          hc_eff=hc_eff, t_eff=t_eff, g_blocks=G_BLOCKS,
+                          slope=float(slope)),
+        grid_spec=grid_spec,
+        out_shape=(
+            vma_shape((rows_out, hc_eff), jnp.float32, t_p),
+            vma_shape((rows_out, H), jnp.float32, t_p),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * ep * ROWS_PER_BLOCK * hc_eff,
+            bytes_accessed=t_table.dtype.itemsize * ep * t_eff
+            + 4 * (ep + 3 * rows_out * hc_eff),
+            transcendentals=ep * H),
+        interpret=interpret,
+    )(offsets, snd_p.reshape(n_chunks, CHUNK), t_p, x_p, amat_p)
+    return dh[:n, :hc], dasrc[:n]

@@ -123,45 +123,23 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, adst_ref, amat_ref,
         return jax.lax.dot_general(
             a, m, ct_hc, preferred_element_type=jnp.float32)  # (H, CHUNK)
 
-    # ---- pass 1: per-destination-row max of the source term --------------
-    for sb in range(g_blocks):
-        m_scr[sb] = jnp.full_like(m_scr[sb], NEG)
+    def _wide(v, fill):
+        """(R, H) -> (R, hc_eff): lane h*C..(h+1)*C carries v[:, h]."""
+        out = jnp.concatenate(
+            [jnp.broadcast_to(v[:, h:h + 1], (ROWS_PER_BLOCK, C))
+             for h in range(H)], axis=1)
+        if hc_eff > hc:
+            out = jnp.pad(out, ((0, 0), (0, hc_eff - hc)),
+                          constant_values=fill)
+        return out
 
-    @pl.when(c1 > c0)
-    def _():
-        msg_dma(0, c0).start()
-
-    def body_max(c, _):
-        slot = (c - c0) % 2
-
-        @pl.when(c + 1 < c1)
-        def _():
-            msg_dma((c - c0 + 1) % 2, c + 1).start()
-
-        msg_dma(slot, c).wait()
-        asrc_e = asrc_of(msg_scr[slot])  # (H, CHUNK)
-        ch_lo = c * CHUNK
-        ch_hi = ch_lo + CHUNK
-        for sb in range(g_blocks):
-            b = g * g_blocks + sb
-            b_start = offsets_ref[b]
-            b_end = offsets_ref[b + 1]
-
-            @pl.when((ch_lo < b_end) & (ch_hi > b_start))
-            def _():
-                ids = row_ids + b * ROWS_PER_BLOCK
-                onehot = recv_ref[c, :][None, :] == ids  # (R, CHUNK) bool
-                cur = jnp.concatenate(
-                    [jnp.max(jnp.where(onehot, asrc_e[h, :][None, :], NEG),
-                             axis=1, keepdims=True) for h in range(H)],
-                    axis=1)  # (R, H)
-                m_scr[sb] = jnp.maximum(m_scr[sb], cur)
-
-        return 0
-
-    jax.lax.fori_loop(c0, c1, body_max, 0)
-
-    # ---- fold the implicit self-loop into max / denom / numerator --------
+    # ---- init from the implicit self-loop --------------------------------
+    # ONLINE softmax: a single message pass maintains (running bf16-rounded
+    # shift m, denom s, numerator acc) per destination row, rescaling by
+    # exp(m_old - m_new) when a chunk raises the max. The shift stays
+    # bf16-rounded at every step so the per-edge shift is recoverable with
+    # an exact bf16 one-hot matmul; rescale factors use exact f32 exps of
+    # rounded values, so the telescoped product equals exp(lg - m_final).
     for sb in range(g_blocks):
         r0 = sb * ROWS_PER_BLOCK
         rows = x_ref[r0:r0 + ROWS_PER_BLOCK, :]
@@ -170,26 +148,14 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, adst_ref, amat_ref,
             preferred_element_type=jnp.float32)  # (R, H)
         adst_r = adst_ref[r0:r0 + ROWS_PER_BLOCK, :].astype(jnp.float32)
         sl = _klky(asrc_r + adst_r, slope)
-        # max over {edges} via monotonicity: max_e leaky(a_e + b) =
-        # leaky(max_e a_e + b); then the self logit joins
-        mx = jnp.maximum(_klky(m_scr[sb] + adst_r, slope), sl)
-        # round the shift to bf16 NOW so pass 2 can recover each edge's
-        # shift exactly with a bf16 one-hot matmul; softmax is invariant to
-        # the shift as long as every term uses this same rounded value
-        mx = mx.astype(jnp.bfloat16).astype(jnp.float32)
+        mx = sl.astype(jnp.bfloat16).astype(jnp.float32)
         m_scr[sb] = mx
-        es = jnp.exp(sl - mx)  # (R, H); isolated rows -> 1
+        es = jnp.exp(sl - mx)  # (R, H); ~1
         s_scr[sb] = es
-        hrows = rows.astype(jnp.float32)
-        es_wide = jnp.concatenate(
-            [jnp.broadcast_to(es[:, h:h + 1], (ROWS_PER_BLOCK, C))
-             for h in range(H)], axis=1)  # (R, HC)
-        if hc_eff > hc:
-            # zero pad also kills any augmented lanes beyond the messages
-            es_wide = jnp.pad(es_wide, ((0, 0), (0, hc_eff - hc)))
-        acc_scr[sb] = es_wide * hrows
+        # the zero pad beyond hc also kills any augmented lanes
+        acc_scr[sb] = _wide(es, 0.0) * rows.astype(jnp.float32)
 
-    # ---- pass 2: softmax-weighted aggregation ----------------------------
+    # ---- single pass: online-softmax weighted aggregation ----------------
     @pl.when(c1 > c0)
     def _():
         msg_dma(0, c0).start()
@@ -217,10 +183,23 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, adst_ref, amat_ref,
                 ids = row_ids + b * ROWS_PER_BLOCK
                 onehot = recv_ref[c, :][None, :] == ids
                 oh_bf = onehot.astype(jnp.bfloat16)
-                # per-edge destination term (exact via hi/lo one-hot
-                # matmuls) and per-edge shift (exact: mx pre-rounded bf16)
                 adst_sb = adst_ref[r0:r0 + ROWS_PER_BLOCK, :].astype(
                     jnp.float32)
+                # chunk max via monotonicity (max_e leaky(a_e + b) =
+                # leaky(max_e a_e + b)); fold into the running shift
+                cur = jnp.concatenate(
+                    [jnp.max(jnp.where(onehot, asrc_e[h, :][None, :], NEG),
+                             axis=1, keepdims=True) for h in range(H)],
+                    axis=1)  # (R, H)
+                mx_old = m_scr[sb]
+                mx = jnp.maximum(mx_old, _klky(cur + adst_sb, slope))
+                mx = mx.astype(jnp.bfloat16).astype(jnp.float32)
+                r = jnp.exp(mx_old - mx)  # (R, H) <= 1; == 1 when unchanged
+                m_scr[sb] = mx
+                s_old = s_scr[sb]
+                acc_old = acc_scr[sb]
+                # per-edge destination term (exact via hi/lo one-hot
+                # matmuls) and per-edge shift (exact: mx bf16-rounded)
                 hi = adst_sb.astype(jnp.bfloat16)
                 lo = (adst_sb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 adst_e = (jax.lax.dot_general(
@@ -229,7 +208,7 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, adst_ref, amat_ref,
                         lo, oh_bf, ct_r,
                         preferred_element_type=jnp.float32))  # (H, CHUNK)
                 mxe = jax.lax.dot_general(
-                    m_scr[sb].astype(jnp.bfloat16), oh_bf, ct_r,
+                    mx.astype(jnp.bfloat16), oh_bf, ct_r,
                     preferred_element_type=jnp.float32)
                 lg = _klky(asrc_e + adst_e, slope)
                 # out-of-block edges get mxe/adst_e = 0 -> exp may overflow
@@ -243,11 +222,11 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, adst_ref, amat_ref,
                     nums.append(_wdots(w, m[:, h * C:(h + 1) * C],
                                        jnp.zeros((ROWS_PER_BLOCK, C),
                                                  jnp.float32)))
-                s_scr[sb] += jnp.concatenate(sums, axis=1)
+                s_scr[sb] = s_old * r + jnp.concatenate(sums, axis=1)
                 num = jnp.concatenate(nums, axis=1)  # (R, HC)
                 if hc_eff > hc:
                     num = jnp.pad(num, ((0, 0), (0, hc_eff - hc)))
-                acc_scr[sb] += num
+                acc_scr[sb] = acc_old * _wide(r, 1.0) + num
 
         return 0
 
@@ -368,22 +347,27 @@ def _gat_attn(h, asrc, adst, amat, senders, receivers, edge_mask,
     return out
 
 
-def _gat_fwd_parts(h, asrc, adst, amat, senders, receivers, edge_mask,
-                   heads, negative_slope, interpret):
+def _resolve_amat(h, asrc, amat, heads):
+    """(x_aug, amat) such that asrc == x_aug @ amat exactly. When no logit
+    matrix is available (direct calls with free-standing asrc/adst) the
+    asrc columns ride the node table as augmented lanes."""
     hc = h.shape[1]
     if amat is None:
-        # no logit matrix available (direct calls with free-standing
-        # asrc/adst): augment the node table with the asrc columns so the
-        # kernel's asrc_e = msgs @ amat identity still holds exactly
         x_aug = jnp.concatenate([h, asrc.astype(h.dtype)], axis=1)
         amat = jnp.concatenate(
             [jnp.zeros((hc, heads), jnp.float32),
              jnp.eye(heads, dtype=jnp.float32)], axis=0)
-    else:
-        x_aug = h
+        return x_aug, amat
+    return h, amat
+
+
+def _gat_fwd_parts(h, asrc, adst, amat, senders, receivers, edge_mask,
+                   heads, negative_slope, interpret):
+    hc = h.shape[1]
+    x_aug, amat_r = _resolve_amat(h, asrc, amat, heads)
     msgs = jnp.take(x_aug, senders, axis=0)
     recv_m = jnp.where(edge_mask, receivers, IMAX)
-    out, alpha = _fwd_impl(msgs, recv_m, x_aug, adst, amat, heads, hc,
+    out, alpha = _fwd_impl(msgs, recv_m, x_aug, adst, amat_r, heads, hc,
                            negative_slope, interpret)
     return out, (msgs, alpha)
 
@@ -400,48 +384,42 @@ def _ga_fwd(h, asrc, adst, amat, senders, receivers, edge_mask, senders_perm,
 def _ga_bwd(heads, negative_slope, interpret, res, dout):
     (h, asrc, adst, amat, senders, receivers, edge_mask, perm,
      senders_sorted, msgs, out, alpha) = res
-    from kagnn_tpu.pallas.spmm import _fwd_impl as _segsum
+    from kagnn_tpu.pallas.gat_bwd import gat_bwd_dadst, gat_bwd_sender
 
     n, hc = h.shape
-    e = senders.shape[0]
     H = heads
     C = hc // H
     f32 = jnp.float32
-    # wide edge-space tensors stay in the input dtype (bf16 mixed-precision
-    # halves the dominant gather/segment-sum traffic); narrow (·, H)
-    # softmax algebra runs in f32. Every wide gather below indexes the
-    # small (N, HC) node tables — never an (E, HC) edge table (measured 2x
-    # slower per row at arxiv scale).
     wd = h.dtype
-    msgs_m = msgs[:, :hc]  # drop augmented lanes if present
+
+    x_aug, amat_r = _resolve_amat(h, asrc, amat, heads)
 
     # S_r = <dout_r, out_r> per head — softmax-sum term, pure node space
     S = jnp.sum((dout * out).astype(f32).reshape(n, H, C), axis=2)  # (N, H)
 
-    # edge-space map (narrow gathers; receivers ascending)
-    z = jnp.take(asrc, senders, axis=0) + jnp.take(adst, receivers, axis=0)
-    z = z.astype(f32)
-    lg = jnp.where(edge_mask[:, None], _leaky(z, negative_slope), NEG)
-    w = jnp.exp(lg - jnp.take(alpha, receivers, axis=0))          # (E, H) f32
-    douted = jnp.take(dout, receivers, axis=0)                    # (E, HC) wd
-    dw = jnp.sum((douted * msgs_m).astype(f32).reshape(e, H, C), axis=2)
-    dl = w * (dw - jnp.take(S, receivers, axis=0))                # (E, H)
-    dz = dl * _dleaky(z, negative_slope)                          # (E, H)
+    # da_dst: receiver-oriented kernel, ZERO gathers (re-streams the saved
+    # message residual; dout/adst/alpha/S are destination-block-local)
+    recv_m = jnp.where(edge_mask, receivers, IMAX)
+    dout_w = dout.astype(wd)
+    dadst_e = gat_bwd_dadst(msgs, recv_m, dout_w, adst, alpha, S, amat_r,
+                            H, hc, negative_slope, interpret)
 
-    # dh (messages) + da_src in ONE sender-sorted wide segment-sum (dz
-    # rides as extra lanes — the lane pad costs ~1-2 ms of stream where a
-    # separate narrow kernel pays a ~7 ms (E,H) transpose); da_dst through
-    # the lane-padded wide kernel in the working dtype for the same reason
-    # — all scatter-free
-    dadst_e = _segsum(dz.astype(wd), receivers, n, interpret).astype(f32)
-    recv_by_sender = jnp.take(receivers, perm)
-    cot_s = (_head_expand(jnp.take(w, perm, axis=0), C).astype(wd)
-             * jnp.take(dout, recv_by_sender, axis=0))            # (E, HC) wd
-    cot_s = jnp.concatenate(
-        [cot_s, jnp.take(dz, perm, axis=0).astype(wd)], axis=1)  # (E, HC+H)
-    summed = _segsum(cot_s, senders_sorted, n, interpret)
-    dh_msgs = summed[:, :hc]
-    dasrc_e = summed[:, hc:hc + H].astype(f32)
+    # dh_msgs + da_src: transpose (sender-oriented) kernel; the per-edge
+    # receiver-side values arrive as ONE gathered table (dout wide, the
+    # three narrow node arrays as exact hi/lo bf16 lane pairs)
+    def hilo(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(f32)).astype(jnp.bfloat16)
+        return hi.astype(wd), lo.astype(wd)
+
+    T = jnp.concatenate(
+        [dout_w, *hilo(adst.astype(f32)), *hilo(alpha),
+         *hilo(S)], axis=1)                               # (N, hc + 6H)
+    rbs = jnp.take(receivers, perm)
+    t_table = jnp.take(T, rbs, axis=0)
+    ssm = jnp.where(jnp.take(edge_mask, perm), senders_sorted, IMAX)
+    dh_msgs, dasrc_e = gat_bwd_sender(t_table, ssm, x_aug, amat_r, H, hc,
+                                      negative_slope, interpret)
 
     # self-loop terms
     zs = (asrc + adst).astype(f32)
@@ -450,11 +428,11 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     dw_self = jnp.sum((dout * h).astype(f32).reshape(n, H, C), axis=2)
     dz_self = w_self * (dw_self - S) * _dleaky(zs, negative_slope)
 
-    dh = (dh_msgs.astype(f32)
+    dh = (dh_msgs
           + _head_expand(w_self, C) * dout.astype(f32)).astype(h.dtype)
     dasrc = (dasrc_e + dz_self).astype(asrc.dtype)
     dadst = (dadst_e + dz_self).astype(adst.dtype)
-    # amat's direct cotangent is zero: the kernel consumes it only to
+    # amat's direct cotangent is zero: the kernels consume it only to
     # recompute asrc values (asrc == x_aug @ amat by construction), and the
     # full sensitivity flows through the `asrc` input
     damat = None if amat is None else jnp.zeros_like(amat)
