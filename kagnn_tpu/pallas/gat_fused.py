@@ -17,18 +17,20 @@ gather:
 
   * per-edge source terms  asrc_e = msgs @ A  (a tiny matmul on the already
     -streamed message chunk; A maps message lanes to per-head logits);
-  * destination terms adst_r, the self logits and the per-row maxima are
-    all block-local (the destination block's rows ride the grid);
-  * pass 1 streams the messages once to fold per-row maxima of asrc
-    (exact: max_e leaky(a_e + b_r) = leaky(max_e a_e + b_r) by
-    monotonicity); the self-loop logit joins the max;
-  * pass 2 streams the messages again: per destination block the per-edge
-    shift mx_e and destination term adst_e are recovered with exact one-hot
-    matmuls (mx bf16-rounded at the source — softmax is shift-invariant as
-    long as every term uses the same rounded shift; adst split hi/lo), the
-    softmax weight row w_e = exp(leaky(asrc_e+adst_e) - mx_e) is built in
-    registers ((H, CHUNK) transcendentals only) and consumed immediately by
-    MXU matmuls acc_h += W_h @ m_h, with the denominator as the row sum.
+  * destination terms adst_r and the self logits are block-local (the
+    destination block's rows ride the grid);
+  * ONE message pass with ONLINE softmax: per destination row the kernel
+    maintains a running bf16-rounded shift m, denominator s and numerator
+    acc, rescaling (s, acc) by exp(m_old - m_new) when a chunk raises the
+    max (exact telescoping; the factor is exactly 1 while the rounded max
+    is unchanged). Chunk maxima use the monotonicity identity
+    max_e leaky(a_e + b_r) = leaky(max_e a_e + b_r). Per-edge shifts and
+    destination terms are recovered with exact one-hot matmuls (shift
+    bf16-rounded at the source — softmax is shift-invariant as long as
+    every term uses the same rounded shift; adst split hi/lo), the weight
+    row w_e = exp(leaky(asrc_e+adst_e) - mx_e) is built in registers
+    ((H, CHUNK) transcendentals only) and consumed immediately by MXU
+    matmuls acc_h += W_h @ m_h, with the denominator as the row sum.
     Per-edge weights never exist in HBM.
 
 Invalid (padded) edges are excluded by rewriting their receiver to int32max
@@ -42,9 +44,9 @@ edge weight as w_e = exp(l_e - alpha[recv_e]).
 Backward needs NO segment-softmax machinery: with S_r = <dout_r, out_r>
 per head, the softmax VJP collapses to dl_e = w_e * (dw_e - S[recv_e])
 (because sum_k w_k dw_k = <dout_r, sum_k w_k m_k> = S_r, self term
-included). The remaining reductions are the sender-sorted wide segment-sum
-(dh) and two unpadded narrow segment-sums (da_src/da_dst) — the entire GAT
-gradient is scatter-free.
+included). The whole gradient runs through the two gather-minimal kernels
+in pallas/gat_bwd.py (receiver-oriented da_dst with zero gathers;
+transpose-oriented dh/da_src with one wide row gather) — scatter-free.
 
 Numerics: the weighted matmuls run in bf16 when the messages are bf16
 (mixed-precision path); for f32 messages both W and m are split into

@@ -129,3 +129,32 @@ def test_gat_attention_bf16_path(rng):
                                     adst.astype(jnp.bfloat16), g, SLOPE)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_gat_attention_large_logits_stable(rng):
+    """Large-magnitude attention terms exercise the online-softmax shift,
+    the bf16 rounding chain and the backward's clamped exp: values and
+    grads must stay finite and match the fallback composition."""
+    heads, c = 2, 32
+    g = _graph(rng, n=80, e=300)
+    n = g.n_node_pad
+    h = jnp.asarray(rng.normal(size=(n, heads * c)), jnp.float32)
+    asrc = jnp.asarray(rng.normal(size=(n, heads)) * 30.0, jnp.float32)
+    adst = jnp.asarray(rng.normal(size=(n, heads)) * 30.0, jnp.float32)
+
+    def loss(h, asrc, adst):
+        out = segment.gat_attention(h, asrc, adst, g, SLOPE)
+        return jnp.sum(out * jnp.cos(out))
+
+    with segment.use_pallas_spmm(False):
+        l0, g0 = jax.value_and_grad(loss, (0, 1, 2))(h, asrc, adst)
+    with segment.use_pallas_spmm(True, interpret=True):
+        l1, g1 = jax.value_and_grad(loss, (0, 1, 2))(h, asrc, adst)
+    assert np.isfinite(float(l1))
+    # bf16-rounded shifts move large logits by up to ~0.2 absolute, so the
+    # comparison is loose — the check is stability + rough agreement
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-2)
+    for a, b in zip(g1, g0):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2,
+                                   atol=5e-2)
