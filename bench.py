@@ -220,6 +220,53 @@ def _measure_graphcls(warmup: int = 1, iters: int = 5,
             "loss_finite": bool(np.isfinite(last))}
 
 
+def _measure_assembly() -> dict:
+    """HOST-side batch-assembly cost, native C++ assembler vs the numpy
+    path, on the graphcls bench shapes — deterministic (no device, no
+    tunnel). This, not the epoch rows, is the regression guard for the
+    native assembler: the device epoch times through the axon tunnel swing
+    by ~10 ms/batch run-to-run (host->device transfer noise), several times
+    the 2-5 ms assembly cost they were meant to expose."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from kagnn_tpu.data.native import NativeBatchAssembler, native_available
+    from kagnn_tpu.data.synthetic import random_molecule_graphs
+    from kagnn_tpu.graphs import pad_spec_for
+    from kagnn_tpu.graphs.batch import batch_graphs
+
+    graphs = random_molecule_graphs(n_graphs=2048, min_nodes=10,
+                                    max_nodes=40, seed=3)
+    for g in graphs:
+        g["nodes"] = np.asarray(jax.nn.one_hot(g["nodes"][:, 0], 21),
+                                np.float32)
+        g["edges"] = None
+    spec = pad_spec_for(graphs, 256)
+    rng = np.random.default_rng(0)
+    sels = [rng.permutation(2048)[:256] for _ in range(20)]
+
+    def best_of(fn, windows=5):
+        best = float("inf")
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            for s in sels:
+                fn(s)
+            best = min(best, (time.perf_counter() - t0) / len(sels))
+        return best * 1e3
+
+    out = {"python_ms_per_batch": round(
+        best_of(lambda s: batch_graphs([graphs[j] for j in s], spec)), 3)}
+    if native_available():
+        asm = NativeBatchAssembler(graphs, spec)
+        out["native_ms_per_batch"] = round(
+            best_of(lambda s: asm.assemble(s)), 3)
+        out["native_speedup"] = round(
+            out["python_ms_per_batch"] / out["native_ms_per_batch"], 2)
+    return out
+
+
 def _measure_halo_1dev(warmup: int = 2, iters: int = 10) -> dict:
     """Flagship KAGIN train step through the HALO partition machinery at
     n_shards=1 on the real chip — bounds the partition tax (all_to_all on a
@@ -321,6 +368,9 @@ def main():
     if path == "halo-1dev":
         print(json.dumps(_measure_halo_1dev()))
         return
+    if path == "graphcls-assembly":
+        print(json.dumps(_measure_assembly()))
+        return
     if path:
         print(json.dumps(_measure_node_path(path)))
         return
@@ -330,7 +380,8 @@ def main():
     # secondary coverage rows: record errors without failing the headline
     extra = ["gcn-kan-bf16", "gat-fastkan-bf16", "gin-fastkan-bf16",
              "kagin-bf16-reorder", "halo-1dev", "graphcls-minibatch",
-             "graphcls-python-loader", "graphcls-noprefetch"]
+             "graphcls-python-loader", "graphcls-noprefetch",
+             "graphcls-assembly"]
     if os.environ.get("KAGNN_BENCH_F32_FUSED"):
         extra.insert(0, "pallas-fused")
     if os.environ.get("KAGNN_BENCH_FAST"):
@@ -371,6 +422,9 @@ def main():
         if variant in results:
             detail[f"{key}_graphs_per_s"] = round(
                 results[variant]["graphs_per_s"], 1)
+    if "graphcls-assembly" in results:
+        for k, v in results["graphcls-assembly"].items():
+            detail[f"assembly_{k}"] = v
     if errors:
         detail["errors"] = errors
     print(json.dumps({

@@ -1,0 +1,85 @@
+"""Single-execution HBM stream probe: K full read+write passes inside ONE
+jitted executable (lax.fori_loop whose carry is the streamed array), so any
+per-execution tunnel/dispatch overhead is amortized across K passes.
+
+Compares against experiments/calibrate_hbm.py (one pass per execution):
+  * if the two agree        -> the chip genuinely streams at that rate;
+  * if in-loop is much faster -> per-execution overhead pollutes the
+    one-pass numbers, and the in-loop figure is the ceiling that matters
+    for the (single-execution) train step.
+
+The loop body is y = roll(y, 128, axis=0) * c — a materializing permuted
+copy XLA cannot fuse across iterations (the carry must be produced each
+iteration), i.e. K * (read + write) * size bytes of mandatory HBM traffic.
+
+    python experiments/calibrate_inloop.py [--mb 512] [--k 32] [--iters 4]
+
+Appends an "inloop" section to CALIBRATION.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from kagnn_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mb", type=int, default=512)
+    p.add_argument("--k", type=int, default=32)
+    p.add_argument("--iters", type=int, default=4)
+    args = p.parse_args()
+
+    n_rows = args.mb * 1024 * 1024 // (4 * 256)
+    x = jax.random.normal(jax.random.key(0), (n_rows, 256), jnp.float32)
+
+    @jax.jit
+    def k_passes(y):
+        def body(i, y):
+            return jnp.roll(y, 128, axis=0) * (1.0 + 1e-7 * i)
+        return jax.lax.fori_loop(0, args.k, body, y)
+
+    # distinct inputs per execution (relay caches identical executions)
+    xs = [x * (1.0 + 1e-6 * (i + 1)) for i in range(args.iters + 1)]
+    jax.block_until_ready(xs)
+    out = k_passes(xs[-1])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    res = [k_passes(v) for v in xs[:args.iters]]
+    jax.block_until_ready(res)
+    sec = (time.perf_counter() - t0) / args.iters
+
+    nbytes = x.size * 4
+    traffic = 2 * nbytes * args.k  # read + write per pass
+    gbps = traffic / sec / 1e9
+    row = {"mb": args.mb, "k": args.k, "iters": args.iters,
+           "sec_per_exec": round(sec, 5),
+           "inloop_stream_gbps": round(gbps, 1)}
+    print(json.dumps(row))
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CALIBRATION.json")
+    try:
+        with open(path) as f:
+            cal = json.load(f)
+    except Exception:
+        cal = {}
+    cal["inloop"] = row
+    cal["practical_ceiling_gbps"] = max(
+        cal.get("practical_ceiling_gbps", 0), row["inloop_stream_gbps"])
+    with open(path, "w") as f:
+        json.dump(cal, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

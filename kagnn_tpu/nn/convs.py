@@ -77,6 +77,13 @@ def _degree_with_self_loops(g: GraphBatch, dtype) -> Array:
         g.receivers, jnp.arange(g.n_node_pad + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     deg = (bounds[1:] - bounds[:-1]).astype(dtype)
+    ax = segment.current_edge_axis()
+    if ax is not None:
+        # edge-partitioned shard_map: each shard counts only its own edge
+        # range (still receiver-sorted), so the global in-degree is the psum
+        # — same collective the old masked segment_sum path carried
+        # implicitly.
+        deg = jax.lax.psum(deg, ax)
     return deg + 1.0
 
 

@@ -43,6 +43,14 @@ def _current_axis() -> str | None:
     return getattr(_STATE, "axis", None)
 
 
+def current_edge_axis() -> str | None:
+    """Mesh axis edges are partitioned over (inside `edge_axis`), or None.
+    Callers computing per-node reductions from the LOCAL edge shard by means
+    other than `segment_sum` (e.g. searchsorted degree counts) must psum
+    their result over this axis themselves."""
+    return _current_axis()
+
+
 # --- halo-exchange node partition --------------------------------------------
 # The scalable alternative to `edge_axis` (which psums the FULL (N, F) node
 # array per reduction): nodes are sharded into contiguous blocks, edges are
