@@ -249,6 +249,14 @@ def _variants(cdt):
         "mlp": dict(base, architecture="mlp"),
         "fastkan": dict(base, architecture="fastkan"),
         "gcn": dict(base, conv_type="gcn"),
+        "gat": dict(base, conv_type="gat", architecture="fastkan",
+                    heads=4),
+        "gat-mp1": dict(base, conv_type="gat", architecture="fastkan",
+                        heads=4, mp_layers=1),
+        "gat-h1": dict(base, conv_type="gat", architecture="fastkan",
+                       heads=1),
+        "gat-mlp": dict(base, conv_type="gat", architecture="mlp",
+                        heads=4),
     }
 
 

@@ -52,12 +52,17 @@ def main():
 
     # distinct inputs per execution (relay caches identical executions)
     xs = [x * (1.0 + 1e-6 * (i + 1)) for i in range(args.iters + 1)]
-    jax.block_until_ready(xs)
+    for v in xs:
+        float(v[0, 0])  # force materialization by host fetch
     out = k_passes(xs[-1])
-    jax.block_until_ready(out)
+    float(out[0, 0])
     t0 = time.perf_counter()
     res = [k_passes(v) for v in xs[:args.iters]]
-    jax.block_until_ready(res)
+    # synchronize by FETCHING freshly-computed data — the tunnel's
+    # block_until_ready has been observed to return early (bogus 60us
+    # "timings" for a 1GB-traffic loop); a host transfer cannot be faked
+    for r in res:
+        float(r[0, 0])
     sec = (time.perf_counter() - t0) / args.iters
 
     nbytes = x.size * 4
@@ -75,6 +80,11 @@ def main():
     except Exception:
         cal = {}
     cal["inloop"] = row
+    if row["inloop_stream_gbps"] > 1500:
+        # paper peak is 819; anything above means the measurement did not
+        # actually block (the tunnel's block_until_ready can return early)
+        print("WARNING: implausible bandwidth; not updating ceiling")
+        return
     cal["practical_ceiling_gbps"] = max(
         cal.get("practical_ceiling_gbps", 0), row["inloop_stream_gbps"])
     with open(path, "w") as f:

@@ -121,19 +121,26 @@ def _setup_model():
 
     d = arxiv_scale_graph(n_nodes=N_NODES, n_edges=N_EDGES,
                           num_features=F_IN, n_classes=CLS)
+    # EXACTLY the bench.py construction (edge_pad_multiple=1024): phase
+    # numbers must decompose the same executable the headline row times
     g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
                      y=d["y"], edge_pad_multiple=1024)
     mask = jnp.asarray(np.arange(g.n_node_pad) < int(d["n_node"]))
     kw = dict(conv_type="gin", architecture="kan", mp_layers=3,
               num_features=F_IN, hidden_channels=HID, num_classes=CLS,
               grid_size=4, spline_order=3, skip=False, hidden_layers=2,
-              dropout=0.0, compute_dtype=jnp.bfloat16)
-    model = NodeClassifier(fused=True, **kw)
+              dropout=0.0)
+    model = NodeClassifier(fused=True, compute_dtype=jnp.bfloat16, **kw)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu), segment.use_pallas_spmm(False):
         tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
                             nodes=np.zeros((8, F_IN), np.float32),
                             y=np.zeros(8, np.int32))
+        # init WITHOUT compute_dtype (exactly as bench.py): params must be
+        # f32 masters — initializing the bf16 twin makes the whole
+        # TrainState bf16, a different and ~40% slower executable
+        # (bf16 Adam + per-step cast chains), which is how a 120 ms
+        # "step" phase once shadowed the 84 ms headline row.
         variables = NodeClassifier(fused=False, **kw).init(
             {"params": jax.random.key(0)}, tiny)
     dev = jax.devices()[0]
@@ -168,18 +175,62 @@ def measure(phase: str) -> dict:
 
         step_fn, _ = make_node_steps(model, tx)
         key = jax.random.key(7)
+        # EXACTLY bench.py's dispatch discipline: drain the warmup tail
+        # (loss AND params fetch) before t0, then dispatch the timed steps
+        # back-to-back keeping every loss buffer alive, fetching only at
+        # the end. Pipelined dispatch hides ~40 ms/step of tunnel
+        # round-trip latency; a per-iteration deviation (overwriting the
+        # loss buffer forces a tunnel-side delete each step) once made
+        # this phase read 120 ms while the headline row read 84 ms.
         s, loss = step_fn(state, g, mask, key)
         nodes = g.nodes
         s, loss = step_fn(s, g.replace(nodes=nodes * (1 + 1e-6)), mask, key)
         float(loss)
+        float(jax.tree_util.tree_leaves(s.params)[0].sum())
         t0 = time.perf_counter()
         iters = 10
+        lvals = []
         for i in range(iters):
             nodes = nodes * (1.0 + 1e-6)
             s, loss = step_fn(s, g.replace(nodes=nodes), mask, key)
-        float(loss)
+            lvals.append(loss)
+        float(lvals[-1])
         float(jax.tree_util.tree_leaves(s.params)[0].sum())
         sec = (time.perf_counter() - t0) / iters
+        return {"phase": phase, "ms": sec * 1e3}
+
+    if phase == "step-scan":
+        # K train steps inside ONE executable (lax.scan): amortizes ALL
+        # per-execution tunnel/dispatch overhead, isolating pure device
+        # time per step. The gap between this and "step" is the per-step
+        # dispatch cost of the axon tunnel (~40 ms RTT when synchronized,
+        # partially hidden by bench.py's pipelined dispatch) — on a
+        # directly-attached TPU host that gap is ~0.1 ms, so THIS is the
+        # number a production deployment would see per step.
+        step_fn, _ = make_node_steps(model, tx)
+        key = jax.random.key(7)
+        K = 10
+
+        @jax.jit
+        def multi(s, nodes):
+            def body(carry, _):
+                s, nodes = carry
+                nodes = nodes * (1.0 + 1e-6)
+                s2, loss = step_fn(s, g.replace(nodes=nodes), mask, key)
+                return (s2, nodes), loss
+            (s, nodes), ls = jax.lax.scan(body, (s, nodes), None, length=K)
+            return s, nodes, ls
+
+        s, nodes, ls = multi(state, g.nodes)
+        float(ls[-1])
+        float(jax.tree_util.tree_leaves(s.params)[0].sum())
+        t0 = time.perf_counter()
+        execs = 3
+        for _ in range(execs):
+            s, nodes, ls = multi(s, nodes)
+        float(ls[-1])
+        float(jax.tree_util.tree_leaves(s.params)[0].sum())
+        sec = (time.perf_counter() - t0) / (execs * K)
         return {"phase": phase, "ms": sec * 1e3}
 
     if phase == "fwd":
@@ -205,6 +256,54 @@ def measure(phase: str) -> dict:
         sec = _timeit(jax.jit(fwd_bwd), (g.nodes,))
         return {"phase": phase, "ms": sec * 1e3}
 
+    if phase == "gather":
+        # ONE wide row gather at the step's message width (bf16, 64 lanes).
+        # XLA's TPU gather is row-rate-bound (~8-9 ms at E=1.17M regardless
+        # of locality or width — _reorder_probe.py), so this phase bounds
+        # every x[senders] / cot-transpose fetch in the step.
+        h = jax.random.normal(jax.random.key(3), (g.n_node_pad, HID),
+                              jnp.bfloat16)
+        sec = _timeit(jax.jit(lambda h: jnp.take(h, g.senders, axis=0)), (h,))
+        return {"phase": phase, "ms": sec * 1e3}
+
+    if phase == "spmm":
+        # ONE fused gather+aggregate (the sorted-segment Pallas kernel) at
+        # message width — what each conv's A @ h costs end to end.
+        h = jax.random.normal(jax.random.key(4), (g.n_node_pad, HID),
+                              jnp.bfloat16)
+        from kagnn_tpu.ops import segment as seg
+        sec = _timeit(jax.jit(lambda h: seg.neighbor_sum(h, g)), (h,))
+        return {"phase": phase, "ms": sec * 1e3}
+
+    if phase == "adam":
+        import optax
+
+        def loss_fn(params, nodes):
+            out, _ = model.apply(
+                {"params": params, "buffers": state.buffers,
+                 "batch_stats": state.batch_stats},
+                g.replace(nodes=nodes), train=True,
+                rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"])
+            return losses.masked_softmax_cross_entropy(out, g.y, mask)
+
+        grads = jax.jit(jax.grad(loss_fn))(state.params, g.nodes)
+        jax.block_until_ready(grads)
+
+        @jax.jit
+        def apply_update(params, opt_state, grads):
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        p, o = state.params, state.opt_state
+        apply_update(p, o, grads)  # compile
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            p, o = apply_update(p, o, grads)
+        float(jax.tree_util.tree_leaves(p)[0].reshape(-1)[0])
+        sec = (time.perf_counter() - t0) / iters
+        return {"phase": phase, "ms": sec * 1e3}
+
     raise ValueError(phase)
 
 
@@ -219,7 +318,8 @@ def main():
         return
 
     rows = {}
-    for phase in ("step", "fwd", "fwdbwd"):
+    for phase in ("step", "step-scan", "fwd", "fwdbwd", "gather", "spmm",
+                  "adam"):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
             capture_output=True, text=True, timeout=3600)
@@ -231,11 +331,13 @@ def main():
             rows[phase] = {"phase": phase, "error": r.stderr[-500:]}
 
     cal_path = os.path.join(ROOT, "CALIBRATION.json")
-    ceiling = None
+    ceiling, cal = None, {}
     if os.path.exists(cal_path):
-        ceiling = json.load(open(cal_path))["practical_ceiling_gbps"]
+        cal = json.load(open(cal_path))
+        ceiling = cal["practical_ceiling_gbps"]
 
     step_ms = rows.get("step", {}).get("ms")
+    scan_ms = rows.get("step-scan", {}).get("ms")
     fwd_ms = rows.get("fwd", {}).get("ms")
     fb_ms = rows.get("fwdbwd", {}).get("ms")
     min_bytes = flagship_min_bytes()
@@ -245,6 +347,8 @@ def main():
             "bwd_ms": round(fb_ms - fwd_ms, 2) if fb_ms and fwd_ms else None,
             "adam_loss_ms": round(step_ms - fb_ms, 2)
             if step_ms and fb_ms else None,
+            "dispatch_overhead_ms": round(step_ms - scan_ms, 2)
+            if step_ms and scan_ms else None,
         },
         "min_hbm_bytes": min_bytes,
         "min_hbm_gb": round(min_bytes / 1e9, 3),
@@ -253,8 +357,38 @@ def main():
     if ceiling and step_ms:
         sol_ms = min_bytes / (ceiling * 1e9) * 1e3
         out["sol_step_ms"] = round(sol_ms, 2)
-        out["pct_of_sol"] = round(100 * sol_ms / step_ms, 1)
-        out["effective_gbps"] = round(min_bytes / (step_ms / 1e3) / 1e9, 1)
+        # pipelined wall clock (what bench.py's headline row measures)
+        out["pct_of_sol_wall"] = round(100 * sol_ms / step_ms, 1)
+        out["effective_gbps_wall"] = round(
+            min_bytes / (step_ms / 1e3) / 1e9, 1)
+        if scan_ms and scan_ms < step_ms:
+            # device-only (scan-amortized dispatch) — meaningful only when
+            # the scanned executable isn't itself pessimized (measured:
+            # XLA compiles the 10-step scan ~4.5x SLOWER per step than the
+            # standalone step — large-carry loop pessimization — so the
+            # pipelined wall number above IS the device-bound number here)
+            out["pct_of_sol_device"] = round(100 * sol_ms / scan_ms, 1)
+            out["effective_gbps_device"] = round(
+                min_bytes / (scan_ms / 1e3) / 1e9, 1)
+
+        # Row-rate-aware SoL: XLA's TPU row gather is ROW-RATE-bound
+        # (~147M rows/s, locality- and width-independent up to ~128 lanes
+        # — _reorder_probe.py + probe_gather_width.py), and the fused step
+        # still contains N_GATHERS edge-space gathers XLA must execute as
+        # gathers (fwd message fetch + bwd cotangent transpose per conv).
+        # Given that primitive, the floor is
+        #   sum(gather rows)/row_rate + (remaining bytes)/ceiling,
+        # which bounds what ANY schedule of the same ops can reach.
+        gr = cal.get("gather_rows_per_s_M") if isinstance(cal, dict) else None
+        if gr:
+            n_gathers = 6  # 3 convs x (fwd msgs + bwd cotangent transpose)
+            gather_rows = n_gathers * (N_EDGES // 1024 * 1024 + 1024)
+            gather_bytes = gather_rows * HID * BF
+            row_ms = gather_rows / (gr * 1e6) * 1e3
+            stream_ms = (min_bytes - gather_bytes) / (ceiling * 1e9) * 1e3
+            out["rowrate_sol_ms"] = round(row_ms + stream_ms, 2)
+            out["pct_of_rowrate_sol"] = round(
+                100 * (row_ms + stream_ms) / step_ms, 1)
     print(json.dumps(out, indent=1))
     if not args.no_write:
         with open(os.path.join(ROOT, "LEDGER.json"), "w") as f:

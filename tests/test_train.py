@@ -109,3 +109,40 @@ def test_graph_classification_epoch_loop(rng):
                              test_batches=intify(loader(va)))
     assert res["best_val_loss"] < 0.8
     assert res["test_metric"] is not None and res["test_metric"] >= 0.5
+
+
+def test_node_multi_step_matches_sequential(rng):
+    """make_node_multi_step (lax.scan epoch fusion) must produce exactly the
+    same TrainState trajectory as n sequential make_node_steps calls when
+    the per-step dropout keys match (here dropout=0, keys irrelevant)."""
+    from kagnn_tpu.train.loops import make_node_multi_step
+
+    d = community_node_graph(n_nodes=96, n_classes=2, num_features=8, seed=5)
+    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"], y=d["y"])
+    model = NodeClassifier(conv_type="gin", architecture="kan", mp_layers=2,
+                           num_features=8, hidden_channels=12, num_classes=2,
+                           grid_size=4, dropout=0.0)
+    tx = optax.adam(5e-3)
+    state, _ = create_train_state(model, jax.random.key(0), g, tx)
+    pad = g.n_node_pad - d["n_node"]
+    mask = jnp.asarray(np.concatenate([d["masks"]["train"],
+                                       np.zeros(pad, bool)]))
+
+    K = 7
+    multi = make_node_multi_step(model, tx, K)
+    s_scan, ls = multi(state, g, mask, jax.random.key(3))
+    assert ls.shape == (K,)
+
+    train_step, _ = make_node_steps(model, tx)
+    s_seq = state
+    seq_losses = []
+    for i in range(K):
+        s_seq, loss = train_step(s_seq, g, mask, jax.random.key(9))
+        seq_losses.append(float(loss))
+
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(seq_losses),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.params),
+                    jax.tree_util.tree_leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
