@@ -207,6 +207,9 @@ class NativeBatchAssembler:
             n_graph=jnp.asarray(int(out_counts[2]), jnp.int32),
             senders_perm=jnp.asarray(out_perm),
             senders_sorted=jnp.asarray(out_snd_sorted),
+            receivers_by_sender=jnp.asarray(out_rcv[out_perm]),
+            edge_mask_by_sender=jnp.asarray(
+                out_edge_mask[out_perm].astype(bool)),
         )
 
 

@@ -152,6 +152,9 @@ class NeighborSampler:
             n_graph=jnp.asarray(1, jnp.int32),
             senders_perm=jnp.asarray(perm),
             senders_sorted=jnp.asarray(snd[perm]),
+            receivers_by_sender=jnp.asarray(rcv[perm]),
+            edge_mask_by_sender=jnp.asarray(
+                (np.arange(self.n_edge_pad) < n_edge)[perm]),
         )
 
     def epoch(self, train_nodes, node_feat=None, y=None

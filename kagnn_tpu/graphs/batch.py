@@ -58,6 +58,13 @@ class GraphBatch:
     # through the sorted-segment-sum kernel instead of an XLA scatter.
     senders_perm: Optional[Array] = None  # (E,) int32
     senders_sorted: Optional[Array] = None  # (E,) int32
+    # precomputed permuted views (host-side, free): receivers/edge_mask in
+    # SENDER-sorted edge order. The backward kernels need these every step;
+    # computing them on device is an (E,) gather each (~8 ms at arxiv scale
+    # — the TPU gather engine is row-rate-bound, see PERFORMANCE.md), while
+    # here they are a numpy fancy-index at batch-assembly time.
+    receivers_by_sender: Optional[Array] = None  # (E,) int32
+    edge_mask_by_sender: Optional[Array] = None  # (E,) bool
 
     # -- static helpers ----------------------------------------------------
     @property
@@ -147,6 +154,8 @@ def single_graph(
         n_graph=jnp.asarray(1, jnp.int32),
         senders_perm=jnp.asarray(perm),
         senders_sorted=jnp.asarray(senders[perm]),
+        receivers_by_sender=jnp.asarray(receivers[perm]),
+        edge_mask_by_sender=jnp.asarray(edge_mask[perm]),
     )
 
 
@@ -262,4 +271,6 @@ def batch_graphs(
         n_graph=jnp.asarray(len(graphs), jnp.int32),
         senders_perm=jnp.asarray(perm),
         senders_sorted=jnp.asarray(senders[perm]),
+        receivers_by_sender=jnp.asarray(receivers[perm]),
+        edge_mask_by_sender=jnp.asarray(edge_mask[perm]),
     )
