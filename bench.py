@@ -10,10 +10,22 @@ vs_baseline compares the current best compute path against the naive unfused
 XLA path measured in the same way (>= 1.0 means the fused/optimized path
 wins).
 
-Secondary rows (in "detail"): GCN/KAN and GAT/FastKAN node paths, the
-RCM-reordered flagship, and the padded-minibatch graph-classification path
-through the native C++ batch assembler + host prefetch — so regressions in
-non-flagship paths stay visible (VERDICT round-1 item 7).
+Durability contract (round-3 postmortem: BENCH_r03 was rc=124 with an empty
+tail — the driver's wall clock expired before the old 11-sequential-
+subprocess design printed anything):
+  * the headline JSON line is emitted AS SOON AS the flagship row is
+    measured, then RE-emitted (enriched) after every additional row — the
+    driver parses the LAST JSON line, so early partial lines are strictly
+    an improvement;
+  * a wall-clock budget (env KAGNN_BENCH_BUDGET_S, default 450 s) is
+    enforced both between subprocesses (parent) and between rows (child,
+    via an absolute-deadline env var); rows that don't fit are recorded in
+    detail.skipped instead of killing the run;
+  * the dominant per-subprocess cost was identified and removed: uploading
+    the 83 MB synthetic feature matrix through the axon tunnel runs at
+    ~1 MB/s (measured 2026-08-20: 87.8 s; on-device jax.random generation
+    of the same matrix: 2.6 s).  Features and labels are now generated
+    ON DEVICE; only the ~9 MB graph structure is uploaded.
 
 Measurement discipline (the TPU here is behind the axon tunnel relay, which
 has two observed failure modes):
@@ -22,9 +34,11 @@ has two observed failure modes):
     node features (on device) and every process perturbs the initial input
     with fresh OS entropy, making each execution unique;
   * a process that has compiled several executables can degrade to bogus
-    (non-blocking or inflated) timings — so each compute path is measured
-    first-thing in its own fresh subprocess (the persistent compilation
-    cache keeps repeat compiles cheap).
+    (non-blocking or inflated) timings — so rows are measured in fresh
+    subprocesses, EXCEPT the two required rows (flagship + xla baseline)
+    which share one subprocess to fit the budget; a sanity floor
+    (sec_per_step > 5 ms — physically impossible to beat at this size)
+    flags any non-blocking-timing artifact.
 """
 from __future__ import annotations
 
@@ -33,6 +47,17 @@ import os
 import subprocess
 import sys
 import time
+
+_START = time.time()
+BUDGET_S = float(os.environ.get("KAGNN_BENCH_BUDGET_S", "450"))
+# fallback baseline (sec/step, unfused XLA row) from the last driver-verified
+# bench (BENCH_r02.json) — used for vs_baseline only until/unless the xla row
+# is measured live in this run; detail.baseline_source says which was used.
+FALLBACK_XLA_SEC = 0.23234
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - _START)
 
 
 def _common_setup():
@@ -53,52 +78,137 @@ NODE_PATHS = {
     "pallas-fused-bf16": ("gin", "kan", True, True, False, False),
     "kagin-bf16-reorder": ("gin", "kan", True, True, True, False),
     "gcn-kan-bf16": ("gcn", "kan", True, True, False, False),
+    "gcn-fastkan-bf16": ("gcn", "fastkan", True, True, False, False),
     "gat-fastkan-bf16": ("gat", "fastkan", True, True, False, False),
     "gin-fastkan-bf16": ("gin", "fastkan", True, True, False, False),
 }
 
+_ARXIV = dict(n_nodes=169_343, n_edges=1_166_243, num_features=128,
+              n_classes=40)
+
+
+def _arxiv_structure():
+    """Graph structure (senders/receivers only — features are generated on
+    device, see module docstring). Cached across subprocesses in /tmp."""
+    import numpy as np
+
+    cache = "/tmp/kagnn_bench_arxiv_structure.npz"
+    try:
+        z = np.load(cache)
+        return z["senders"], z["receivers"]
+    except Exception:
+        pass
+    from kagnn_tpu.data.synthetic import arxiv_scale_graph
+
+    d = arxiv_scale_graph(**_ARXIV)
+    try:
+        np.savez(cache + f".tmp{os.getpid()}", senders=d["senders"],
+                 receivers=d["receivers"])
+        os.replace(cache + f".tmp{os.getpid()}.npz", cache)
+    except Exception:
+        pass
+    return d["senders"], d["receivers"]
+
+
+def _arxiv_batch(reorder: bool = False):
+    """Padded GraphBatch for the bench graph with ON-DEVICE features/labels
+    (structure uploads ~9 MB; the 83 MB feature matrix never crosses the
+    tunnel). Returns (g, mask)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kagnn_tpu.graphs import single_graph
+
+    snd, rcv = _arxiv_structure()
+    n_nodes = _ARXIV["n_nodes"]
+    if reorder:
+        from kagnn_tpu.graphs.reorder import bfs_order, reorder_graph
+
+        d = dict(senders=snd, receivers=rcv, n_node=n_nodes,
+                 nodes=np.zeros((n_nodes, 1), np.float32),
+                 y=np.zeros(n_nodes, np.int32))
+        d = reorder_graph(d, bfs_order)
+        snd, rcv = d["senders"], d["receivers"]
+    g = single_graph(snd, rcv, n_node=n_nodes, edge_pad_multiple=1024)
+    n_pad = g.n_node_pad
+
+    @jax.jit
+    def gen(key):
+        kx, ky = jax.random.split(key)
+        nodes = jax.random.normal(kx, (n_pad, _ARXIV["num_features"]),
+                                  jnp.float32)
+        y = jax.random.randint(ky, (n_pad,), 0, _ARXIV["n_classes"],
+                               jnp.int32)
+        return nodes, y
+
+    # fresh-entropy seed: no process generates the same features as another
+    seed = int.from_bytes(os.urandom(4), "little")
+    nodes, y = gen(jax.random.key(seed))
+    mask = jnp.asarray(np.arange(n_pad) < n_nodes)
+    return g.replace(nodes=nodes, y=y), mask
+
+
+_NODE_KW = dict(mp_layers=3, num_features=128, hidden_channels=64,
+                num_classes=40, grid_size=4, spline_order=3, skip=False,
+                hidden_layers=2, heads=4, dropout=0.0)
+
+
+def _init_variables(conv: str, arch: str):
+    """CPU init of the node-model param tree (lstsq spline init must not
+    remote-compile). Cached across subprocesses per (conv, arch)."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    cache = f"/tmp/kagnn_bench_init_{conv}_{arch}.pkl"
+    try:
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        pass
+    from kagnn_tpu.graphs import single_graph
+    from kagnn_tpu.models import NodeClassifier
+    from kagnn_tpu.ops import segment
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu), segment.use_pallas_spmm(False):
+        tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
+                            nodes=np.zeros((8, 128), np.float32),
+                            y=np.zeros(8, np.int32))
+        variables = NodeClassifier(fused=False, conv_type=conv,
+                                   architecture=arch, **_NODE_KW).init(
+            {"params": jax.random.key(0)}, tiny)
+    variables = jax.tree.map(np.asarray, variables)
+    try:
+        with open(cache + f".tmp{os.getpid()}", "wb") as f:
+            pickle.dump(variables, f)
+        os.replace(cache + f".tmp{os.getpid()}", cache)
+    except Exception:
+        pass
+    return variables
+
 
 def _measure_node_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
-    """Runs inside a fresh subprocess: time one full-graph train-step path."""
+    """Runs inside a subprocess: time one full-graph train-step path."""
     _common_setup()
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
 
-    from kagnn_tpu.data.synthetic import arxiv_scale_graph
-    from kagnn_tpu.graphs import single_graph
     from kagnn_tpu.models import NodeClassifier
     from kagnn_tpu.ops import segment
     from kagnn_tpu.train.loops import TrainState, make_node_steps
 
     conv, arch, fused, bf16, reorder, force_xla = NODE_PATHS[path]
+    g, mask = _arxiv_batch(reorder=reorder)
 
-    d = arxiv_scale_graph(n_nodes=169_343, n_edges=1_166_243,
-                          num_features=128, n_classes=40)
-    if reorder:
-        from kagnn_tpu.graphs.reorder import bfs_order, reorder_graph
-        d = reorder_graph(d, bfs_order)
-    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
-                     y=d["y"], edge_pad_multiple=1024)
-    mask = jnp.asarray(np.arange(g.n_node_pad) < int(d["n_node"]))
-
-    kw = dict(conv_type=conv, architecture=arch, mp_layers=3,
-              num_features=128, hidden_channels=64, num_classes=40,
-              grid_size=4, spline_order=3, skip=False, hidden_layers=2,
-              heads=4, dropout=0.0)
-    model = NodeClassifier(fused=fused,
-                           compute_dtype=jnp.bfloat16 if bf16 else None, **kw)
-
-    # init on the host CPU backend (lstsq spline init would remote-compile),
-    # with the unfused twin (same param tree; Pallas can't trace on CPU)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu), segment.use_pallas_spmm(False):
-        tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
-                            nodes=np.zeros((8, 128), np.float32),
-                            y=np.zeros(8, np.int32))
-        variables = NodeClassifier(fused=False, **kw).init(
-            {"params": jax.random.key(0)}, tiny)
+    model = NodeClassifier(fused=fused, conv_type=conv, architecture=arch,
+                           compute_dtype=jnp.bfloat16 if bf16 else None,
+                           **_NODE_KW)
+    variables = _init_variables(conv, arch)
     dev = jax.devices()[0]
     variables = jax.tree.map(lambda a: jax.device_put(a, dev), variables)
     tx = optax.adam(1e-3)
@@ -111,10 +221,7 @@ def _measure_node_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
     step_fn, _ = make_node_steps(model, tx)
     ctx = segment.use_pallas_spmm(False) if force_xla else _nullctx()
 
-    # fresh-entropy perturbation: no process ever executes the same
-    # (program, inputs) pair as any other process or iteration
-    jitter = 1.0 + (int.from_bytes(os.urandom(4), "little") % 1000) * 1e-9
-    nodes = g.nodes * jitter
+    nodes = g.nodes
     key = jax.random.key(7)
     with ctx:
         s = state
@@ -139,6 +246,7 @@ def _measure_node_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
     return {"sec_per_step": sec, "n_edges": int(g.n_edge),
             "backend": jax.default_backend(),
             "loss_finite": bool(np.isfinite(last_loss)),
+            "suspect": bool(sec < 0.005),  # non-blocking-timing artifact
             "checksum": checksum}
 
 
@@ -214,7 +322,6 @@ def _measure_graphcls(warmup: int = 1, iters: int = 5,
     last = float(loss)
     float(jax.tree_util.tree_leaves(s.params)[0].sum())
     sec = (time.perf_counter() - t0) / iters
-    import numpy as np
     return {"sec_per_epoch": sec, "graphs_per_s": n_graphs_epoch / sec,
             "backend": jax.default_backend(),
             "loss_finite": bool(np.isfinite(last))}
@@ -278,32 +385,17 @@ def _measure_halo_1dev(warmup: int = 2, iters: int = 10) -> dict:
     import numpy as np
     import optax
 
-    from kagnn_tpu.data.synthetic import arxiv_scale_graph
     from kagnn_tpu.dist.halo import build_halo_plan, make_halo_node_step
     from kagnn_tpu.dist.mesh import make_mesh
-    from kagnn_tpu.graphs import single_graph
     from kagnn_tpu.models import NodeClassifier
-    from kagnn_tpu.ops import segment
     from kagnn_tpu.train.loops import TrainState
 
-    d = arxiv_scale_graph(n_nodes=169_343, n_edges=1_166_243,
-                          num_features=128, n_classes=40)
-    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
-                     y=d["y"], edge_pad_multiple=1024)
-    mask = np.asarray(g.node_mask)
+    g, mask_dev = _arxiv_batch()
+    mask = np.asarray(mask_dev)
 
-    kw = dict(conv_type="gin", architecture="kan", mp_layers=3,
-              num_features=128, hidden_channels=64, num_classes=40,
-              grid_size=4, spline_order=3, skip=False, hidden_layers=2,
-              heads=4, dropout=0.0)
-    model = NodeClassifier(fused=True, compute_dtype=jnp.bfloat16, **kw)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu), segment.use_pallas_spmm(False):
-        tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
-                            nodes=np.zeros((8, 128), np.float32),
-                            y=np.zeros(8, np.int32))
-        variables = NodeClassifier(fused=False, **kw).init(
-            {"params": jax.random.key(0)}, tiny)
+    model = NodeClassifier(fused=True, compute_dtype=jnp.bfloat16,
+                           conv_type="gin", architecture="kan", **_NODE_KW)
+    variables = _init_variables("gin", "kan")
     dev = jax.devices()[0]
     variables = jax.tree.map(lambda a: jax.device_put(a, dev), variables)
     tx = optax.adam(1e-3)
@@ -332,6 +424,7 @@ def _measure_halo_1dev(warmup: int = 2, iters: int = 10) -> dict:
     sec = (time.perf_counter() - t0) / iters
     return {"sec_per_step": sec, "n_edges": int(g.n_edge),
             "backend": jax.default_backend(),
+            "suspect": bool(sec < 0.005),
             "loss_finite": bool(np.isfinite(float(loss)))}
 
 
@@ -343,97 +436,204 @@ class _nullctx:
         return False
 
 
-def _run_subprocess(path: str) -> dict:
-    env = dict(os.environ, KAGNN_BENCH_PATH=path)
-    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       env=env, capture_output=True, text=True,
-                       timeout=3600)
-    for line in reversed(r.stdout.splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"bench path {path} failed:\n{r.stderr[-3000:]}")
+SPECIAL_ROWS = {
+    "graphcls-minibatch": lambda: _measure_graphcls(),
+    "graphcls-python-loader": lambda: _measure_graphcls(native=False,
+                                                        prefetch=0),
+    "graphcls-noprefetch": lambda: _measure_graphcls(native=None,
+                                                     prefetch=0),
+    "halo-1dev": _measure_halo_1dev,
+    "graphcls-assembly": _measure_assembly,
+}
+
+
+def _child_main(paths):
+    """Measure each requested row, print one JSON line per row (flushed),
+    respect the absolute deadline between rows."""
+    deadline = float(os.environ.get("KAGNN_BENCH_DEADLINE", "0")) or None
+    for p in paths:
+        if deadline and time.time() > deadline:
+            print(json.dumps({"path": p, "skipped": "deadline"}), flush=True)
+            continue
+        try:
+            row = (SPECIAL_ROWS[p]() if p in SPECIAL_ROWS
+                   else _measure_node_path(p))
+            print(json.dumps({"path": p, **row}), flush=True)
+        except Exception as e:  # keep remaining rows alive
+            print(json.dumps({"path": p, "error": str(e)[-300:]}),
+                  flush=True)
+
+
+class _Headline:
+    """Accumulates row results and (re-)emits the full headline JSON line
+    after every update. The driver parses the LAST JSON line, so each
+    re-emission supersedes the previous one."""
+
+    def __init__(self):
+        self.rows = {}
+        self.errors = {}
+        self.skipped = []
+
+    def update(self, rec: dict):
+        p = rec.pop("path")
+        if "error" in rec:
+            self.errors[p] = rec["error"]
+        elif "skipped" in rec:
+            self.skipped.append(p)
+        else:
+            self.rows[p] = rec
+
+    def emit(self, final: bool = False):
+        rows = self.rows
+        node_rows = {p: r for p, r in rows.items()
+                     if "sec_per_step" in r and not r.get("suspect")}
+        if "pallas-fused-bf16" not in node_rows and not any(
+                p in node_rows for p in ("pallas-fused", "xla")):
+            return False  # nothing measurable yet
+        flagship = min(("pallas-fused-bf16", "pallas-fused", "xla"),
+                       key=lambda p: node_rows[p]["sec_per_step"]
+                       if p in node_rows else float("inf"))
+        best = node_rows[flagship]["sec_per_step"]
+        n_edges = node_rows[flagship]["n_edges"]
+        if "xla" in node_rows:
+            baseline, baseline_source = node_rows["xla"]["sec_per_step"], \
+                "measured"
+        else:
+            baseline, baseline_source = FALLBACK_XLA_SEC, \
+                "cached-BENCH_r02 (xla row not yet measured this run)"
+        detail = {
+            "best_path": flagship,
+            "sec_per_step_best": round(best, 5),
+            "sec_per_step_unfused_xla": round(baseline, 5),
+            "baseline_source": baseline_source,
+            **{f"sec_per_step_{p}": round(r["sec_per_step"], 5)
+               for p, r in node_rows.items()},
+            **{f"edges_per_s_{p}":
+               round(r["n_edges"] / r["sec_per_step"], 1)
+               for p, r in node_rows.items() if p != "xla"},
+            "n_edges": n_edges,
+            "backend": node_rows[flagship]["backend"],
+            "budget_s": BUDGET_S,
+            "elapsed_s": round(time.time() - _START, 1),
+            "isolation": "required rows share one fresh subprocess, extras "
+                         "one subprocess each; per-iteration on-device "
+                         "input perturbation (tunnel-relay cache defeat)",
+        }
+        if "graphcls-minibatch" in rows:
+            r = rows["graphcls-minibatch"]
+            detail["graphcls_graphs_per_s"] = round(r["graphs_per_s"], 1)
+            detail["graphcls_sec_per_epoch"] = round(r["sec_per_epoch"], 5)
+        for variant, key in (("graphcls-python-loader", "graphcls_python"),
+                             ("graphcls-noprefetch", "graphcls_noprefetch")):
+            if variant in rows:
+                detail[f"{key}_graphs_per_s"] = round(
+                    rows[variant]["graphs_per_s"], 1)
+        if "graphcls-assembly" in rows:
+            for k, v in rows["graphcls-assembly"].items():
+                detail[f"assembly_{k}"] = v
+        suspects = [p for p, r in rows.items() if r.get("suspect")]
+        if suspects:
+            detail["suspect_rows_excluded"] = suspects
+        if self.errors:
+            detail["errors"] = self.errors
+        if self.skipped:
+            detail["skipped"] = sorted(set(self.skipped))
+        print(json.dumps({
+            "metric": "edges/s/chip (KAGIN train step, arxiv-scale)",
+            "value": round(n_edges / best, 1),
+            "unit": "edges/s",
+            "vs_baseline": round(baseline / best, 4),
+            "detail": detail,
+        }), flush=True)
+        return True
+
+
+def _run_group(paths, headline: _Headline, est_cost: float) -> float:
+    """Launch one child subprocess measuring `paths`, stream its per-row
+    JSON lines into `headline` (re-emitting after each), return measured
+    wall cost. Skips (recording why) if the budget can't fit it."""
+    if _remaining() < est_cost:
+        for p in paths:
+            headline.skipped.append(p)
+        return 0.0
+    t0 = time.time()
+    env = dict(os.environ, KAGNN_BENCH_PATHS=",".join(paths),
+               KAGNN_BENCH_DEADLINE=str(_START + BUDGET_S))
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    got = set()
+    try:
+        for line in proc.stdout:
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            got.add(rec.get("path"))
+            headline.update(dict(rec))
+            headline.emit()
+        proc.wait(timeout=max(1.0, _remaining()))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+    finally:
+        if proc.poll() is None:
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+    if proc.returncode not in (0, None):
+        err = (proc.stderr.read() or "")[-300:] if proc.stderr else ""
+        for p in paths:
+            if p not in got:
+                headline.errors[p] = f"rc={proc.returncode}: {err}"
+    else:
+        for p in paths:
+            if p not in got:
+                headline.skipped.append(p)
+    return time.time() - t0
 
 
 def main():
-    path = os.environ.get("KAGNN_BENCH_PATH")
-    if path == "graphcls-minibatch":
-        print(json.dumps(_measure_graphcls()))
-        return
-    if path == "graphcls-python-loader":
-        print(json.dumps(_measure_graphcls(native=False, prefetch=0)))
-        return
-    if path == "graphcls-noprefetch":
-        print(json.dumps(_measure_graphcls(native=None, prefetch=0)))
-        return
-    if path == "halo-1dev":
-        print(json.dumps(_measure_halo_1dev()))
-        return
-    if path == "graphcls-assembly":
-        print(json.dumps(_measure_assembly()))
-        return
-    if path:
-        print(json.dumps(_measure_node_path(path)))
+    legacy = os.environ.get("KAGNN_BENCH_PATH")
+    paths_env = os.environ.get("KAGNN_BENCH_PATHS")
+    if legacy or paths_env:
+        _child_main((paths_env or legacy).split(","))
         return
 
-    # required paths (headline + baseline)
-    results = {p: _run_subprocess(p) for p in ["xla", "pallas-fused-bf16"]}
-    # secondary coverage rows: record errors without failing the headline
-    extra = ["gcn-kan-bf16", "gat-fastkan-bf16", "gin-fastkan-bf16",
-             "kagin-bf16-reorder", "halo-1dev", "graphcls-minibatch",
-             "graphcls-python-loader", "graphcls-noprefetch",
-             "graphcls-assembly"]
+    headline = _Headline()
+    # required rows: flagship first (headline lands even if the process
+    # dies mid-row-2), xla baseline second — ONE subprocess, shared graph
+    cost = _run_group(["pallas-fused-bf16", "xla"], headline, est_cost=0.0)
+    emitted = headline.emit()
+
+    extras = [["gcn-kan-bf16"], ["gat-fastkan-bf16"], ["gin-fastkan-bf16"],
+              ["halo-1dev"], ["kagin-bf16-reorder"], ["gcn-fastkan-bf16"],
+              ["graphcls-minibatch"], ["graphcls-assembly"],
+              ["graphcls-python-loader"], ["graphcls-noprefetch"]]
     if os.environ.get("KAGNN_BENCH_F32_FUSED"):
-        extra.insert(0, "pallas-fused")
+        extras.insert(0, ["pallas-fused"])
     if os.environ.get("KAGNN_BENCH_FAST"):
-        extra = []
-    errors = {}
-    for p in extra:
-        try:
-            results[p] = _run_subprocess(p)
-        except Exception as e:  # keep the headline alive
-            errors[p] = str(e)[-300:]
+        extras = []
+    # a node-path subprocess now costs ~(setup + compile + steps); use the
+    # required group's measured cost (2 rows) as the unit estimate
+    est = max(45.0, cost * 0.7)
+    for grp in extras:
+        _run_group(grp, headline, est_cost=est)
+        emitted = headline.emit() or emitted
 
-    baseline = results["xla"]["sec_per_step"]
-    node_paths = [p for p in results if "sec_per_step" in results[p]]
-    flagship = min(("pallas-fused-bf16", "pallas-fused", "xla"),
-                   key=lambda p: results[p]["sec_per_step"]
-                   if p in results else float("inf"))
-    best = results[flagship]["sec_per_step"]
-    n_edges = results[flagship]["n_edges"]
-    detail = {
-        "best_path": flagship,
-        "sec_per_step_best": round(best, 5),
-        "sec_per_step_unfused_xla": round(baseline, 5),
-        **{f"sec_per_step_{p}": round(results[p]["sec_per_step"], 5)
-           for p in node_paths},
-        **{f"edges_per_s_{p}": round(n_edges / results[p]["sec_per_step"], 1)
-           for p in node_paths if p != "xla"},
-        "n_edges": n_edges,
-        "backend": results[flagship]["backend"],
-        "isolation": "one fresh subprocess per path, per-iteration "
-                     "input perturbation (tunnel-relay cache defeat)",
-    }
-    if "graphcls-minibatch" in results:
-        r = results["graphcls-minibatch"]
-        detail["graphcls_graphs_per_s"] = round(r["graphs_per_s"], 1)
-        detail["graphcls_sec_per_epoch"] = round(r["sec_per_epoch"], 5)
-    for variant, key in (("graphcls-python-loader", "graphcls_python"),
-                         ("graphcls-noprefetch", "graphcls_noprefetch")):
-        if variant in results:
-            detail[f"{key}_graphs_per_s"] = round(
-                results[variant]["graphs_per_s"], 1)
-    if "graphcls-assembly" in results:
-        for k, v in results["graphcls-assembly"].items():
-            detail[f"assembly_{k}"] = v
-    if errors:
-        detail["errors"] = errors
-    print(json.dumps({
-        "metric": "edges/s/chip (KAGIN train step, arxiv-scale)",
-        "value": round(n_edges / best, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(baseline / best, 4),
-        "detail": detail,
-    }))
+    if not headline.emit(final=True) and not emitted:
+        # nothing measurable at all — still print a parseable line so the
+        # failure mode is visible in the driver artifact
+        print(json.dumps({
+            "metric": "edges/s/chip (KAGIN train step, arxiv-scale)",
+            "value": 0.0, "unit": "edges/s", "vs_baseline": 0.0,
+            "detail": {"errors": headline.errors,
+                       "skipped": sorted(set(headline.skipped)),
+                       "elapsed_s": round(time.time() - _START, 1),
+                       "note": "no row completed within budget"},
+        }), flush=True)
 
 
 if __name__ == "__main__":
