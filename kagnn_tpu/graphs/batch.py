@@ -59,9 +59,11 @@ class GraphBatch:
     senders_perm: Optional[Array] = None  # (E,) int32
     senders_sorted: Optional[Array] = None  # (E,) int32
     # precomputed permuted views (host-side, free): receivers/edge_mask in
-    # SENDER-sorted edge order. The backward kernels need these every step;
-    # computing them on device is an (E,) gather each (~8 ms at arxiv scale
-    # — the TPU gather engine is row-rate-bound, see PERFORMANCE.md), while
+    # SENDER-sorted edge order. Consumed by the scatter-free backwards
+    # (ops/segment._ns_bwd/_nsa_bwd, pallas gin_fused/gin_fastkan/gat_fused/
+    # gcn_agg VJPs), which fall back to an on-device take when None;
+    # computing them on device is an (E,) gather each (~ms at arxiv scale —
+    # the TPU gather engine is row-rate-bound, see CALIBRATION.json), while
     # here they are a numpy fancy-index at batch-assembly time.
     receivers_by_sender: Optional[Array] = None  # (E,) int32
     edge_mask_by_sender: Optional[Array] = None  # (E,) bool

@@ -122,14 +122,17 @@ class GCNConv(nn.Module):
             norm = dinv_sqrt[g.senders] * dinv_local[g.receivers]
             norm = jnp.where(g.edge_mask, norm, 0.0).astype(dtype)
             out = segment.neighbor_sum(h, g, edge_weight=norm)
+            # implicit self-loop: weight d_i^-1
+            out = out + h * (dinv_local * dinv_local)[:, None].astype(dtype)
         else:
+            # fused path: out = dinv ⊙ (A @ hs + hs) with hs = h * dinv —
+            # aggregate, self-loop term, and both norm scalings in one
+            # kernel launch (pallas/gcn_agg.py on TPU; XLA epilogue
+            # elsewhere, same factorized math)
             deg = _degree_with_self_loops(g, dtype)
             dinv_local = jax.lax.rsqrt(deg)
-            h_scaled = h * dinv_local[:, None].astype(dtype)
-            out = segment.neighbor_sum(h_scaled, g)
-            out = out * dinv_local[:, None].astype(dtype)
-        # implicit self-loop: weight d_i^-1
-        out = out + h * (dinv_local * dinv_local)[:, None].astype(dtype)
+            hs_scaled = h * dinv_local[:, None].astype(dtype)
+            out = segment.gcn_aggregate(hs_scaled, g, dinv_local)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.out_features,))
@@ -222,8 +225,10 @@ class GINConv(nn.Module):
             # neighbor_sum otherwise — see KANLinear.__call__)
             return self.update(x, mask=g.node_mask, train=train,
                                gin_graph=(g, self.eps))
-        agg = segment.neighbor_sum(x, g,
-                                   edge_weight=g.edge_mask.astype(x.dtype))
+        mbs = getattr(g, "edge_mask_by_sender", None)
+        agg = segment.neighbor_sum(
+            x, g, edge_weight=g.edge_mask.astype(x.dtype),
+            w_by_sender=None if mbs is None else mbs.astype(x.dtype))
         return self.update((1.0 + self.eps) * x + agg,
                            mask=g.node_mask, train=train)
 

@@ -298,9 +298,10 @@ def _sbg_bwd(interpret, res, cot):
 _sorted_bwd_gather.defvjp(_sbg_fwd, _sbg_bwd)
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _neighbor_sum_sorted(x, senders, receivers, edge_weight, senders_perm,
-                         senders_sorted, num_segments, interpret):
+                         senders_sorted, recv_by_sender, w_by_sender,
+                         num_segments, interpret):
     from kagnn_tpu.pallas.spmm import sorted_segment_sum
 
     msgs = jnp.take(x, senders, axis=0)
@@ -310,35 +311,42 @@ def _neighbor_sum_sorted(x, senders, receivers, edge_weight, senders_perm,
 
 
 def _ns_fwd(x, senders, receivers, edge_weight, senders_perm, senders_sorted,
-            num_segments, interpret):
+            recv_by_sender, w_by_sender, num_segments, interpret):
     out = _neighbor_sum_sorted(x, senders, receivers, edge_weight,
-                               senders_perm, senders_sorted, num_segments,
-                               interpret)
+                               senders_perm, senders_sorted, recv_by_sender,
+                               w_by_sender, num_segments, interpret)
     return out, (receivers, edge_weight, senders_perm, senders_sorted,
-                 x.shape[0])
+                 recv_by_sender, w_by_sender, x.shape[0])
 
 
 def _ns_bwd(num_segments, interpret, res, cot):
     from kagnn_tpu.pallas.spmm import sorted_segment_sum
 
-    receivers, edge_weight, perm, senders_sorted, n_rows = res
+    (receivers, edge_weight, perm, senders_sorted, recv_by_sender,
+     w_by_sender, n_rows) = res
     # dx = A^T @ cot: gather the cotangent rows at the receivers of the
     # SENDER-sorted edge copy, then one more sorted-segment-sum — no scatter,
-    # no separate edge-cotangent permute
-    recv_sorted_by_sender = jnp.take(receivers, perm)
-    cot_edges = jnp.take(cot, recv_sorted_by_sender, axis=0)
+    # no separate edge-cotangent permute. The permuted receiver view is a
+    # host-side precompute when the batcher ships it (the TPU gather engine
+    # is row-rate-bound, so the on-device (E,) permute costs ~ as much as a
+    # wide gather — CALIBRATION.json "gather").
+    if recv_by_sender is None:
+        recv_by_sender = jnp.take(receivers, perm)
+    cot_edges = jnp.take(cot, recv_by_sender, axis=0)
     if edge_weight is not None:
-        cot_edges = cot_edges * jnp.take(edge_weight, perm)[:, None]
+        w_p = (jnp.take(edge_weight, perm) if w_by_sender is None
+               else w_by_sender.astype(edge_weight.dtype))
+        cot_edges = cot_edges * w_p[:, None]
     dx = sorted_segment_sum(cot_edges, senders_sorted, n_rows, interpret)
-    return dx, None, None, None, None, None
+    return dx, None, None, None, None, None, None, None
 
 
 _neighbor_sum_sorted.defvjp(_ns_fwd, _ns_bwd)
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _neighbor_sum_attn(x, w, senders, receivers, senders_perm, senders_sorted,
-                       num_segments, heads, interpret):
+                       recv_by_sender, num_segments, heads, interpret):
     e = senders.shape[0]
     msgs = jnp.take(x, senders, axis=0)
     msgs = (msgs.reshape(e, heads, -1) * w[:, :, None]).reshape(e, -1)
@@ -348,16 +356,18 @@ def _neighbor_sum_attn(x, w, senders, receivers, senders_perm, senders_sorted,
 
 
 def _nsa_fwd(x, w, senders, receivers, senders_perm, senders_sorted,
-             num_segments, heads, interpret):
+             recv_by_sender, num_segments, heads, interpret):
     out = _neighbor_sum_attn(x, w, senders, receivers, senders_perm,
-                             senders_sorted, num_segments, heads, interpret)
-    return out, (x, w, senders, receivers, senders_perm, senders_sorted)
+                             senders_sorted, recv_by_sender, num_segments,
+                             heads, interpret)
+    return out, (x, w, senders, receivers, senders_perm, senders_sorted,
+                 recv_by_sender)
 
 
 def _nsa_bwd(num_segments, heads, interpret, res, cot):
     from kagnn_tpu.pallas.spmm import sorted_segment_sum
 
-    x, w, senders, receivers, perm, senders_sorted = res
+    x, w, senders, receivers, perm, senders_sorted, recv_by_sender = res
     e = senders.shape[0]
     # dw_e = <cot[recv_e], x[send_e]> per head: one sorted gather of the
     # cotangent (receivers ascending -> sequential-ish) + one random gather
@@ -367,12 +377,13 @@ def _nsa_bwd(num_segments, heads, interpret, res, cot):
                  axis=2).astype(w.dtype)
     # dx = A^T(w) @ cot over the SENDER-sorted edge copy: gather + one more
     # sorted-segment-sum — no scatter anywhere in the gradient path
-    recv_by_sender = jnp.take(receivers, perm)
+    if recv_by_sender is None:
+        recv_by_sender = jnp.take(receivers, perm)
     cot_e = jnp.take(cot, recv_by_sender, axis=0)
     w_p = jnp.take(w, perm, axis=0)
     cot_e = (cot_e.reshape(e, heads, -1) * w_p[:, :, None]).reshape(e, -1)
     dx = sorted_segment_sum(cot_e, senders_sorted, x.shape[0], interpret)
-    return dx.astype(x.dtype), dw, None, None, None, None
+    return dx.astype(x.dtype), dw, None, None, None, None, None
 
 
 _neighbor_sum_attn.defvjp(_nsa_fwd, _nsa_bwd)
@@ -414,6 +425,7 @@ def neighbor_sum_attn(x: Array, g, edge_weight: Array) -> Array:
     if route:
         return _neighbor_sum_attn(x, w2, g.senders, g.receivers,
                                   g.senders_perm, g.senders_sorted,
+                                  getattr(g, "receivers_by_sender", None),
                                   g.n_node_pad, heads, interpret)
     e = g.senders.shape[0]
     msgs = jnp.take(x, g.senders, axis=0)
@@ -472,9 +484,13 @@ def gat_attention(h: Array, asrc: Array, adst: Array, g,
     return out.reshape(n, hc)
 
 
-def neighbor_sum(x: Array, g, edge_weight: Array | None = None) -> Array:
+def neighbor_sum(x: Array, g, edge_weight: Array | None = None,
+                 w_by_sender: Array | None = None) -> Array:
     """out_i = sum over edges e with receiver i of w_e * x[sender_e] — the
     fused gather+aggregate (SpMM with A as the weighted adjacency).
+    `w_by_sender` optionally supplies edge_weight pre-permuted into
+    sender-sorted order (e.g. g.edge_mask_by_sender when edge_weight is the
+    mask), sparing the backward an (E,) on-device permute-gather.
 
     On TPU with sorted-edge metadata this runs forward AND backward through
     the sorted-segment-sum kernel (backward re-expresses A^T @ cot over the
@@ -504,9 +520,14 @@ def neighbor_sum(x: Array, g, edge_weight: Array | None = None) -> Array:
         interpret = spmm[1]
     if route:
         w = None if edge_weight is None else jax.lax.stop_gradient(edge_weight)
+        # w_by_sender: only the edge-MASK weighting has a precomputed view;
+        # callers passing data-dependent weights fall back to the on-device
+        # permute (attention weights must use neighbor_sum_attn anyway)
+        wbs = w_by_sender if w is not None else None
         return _neighbor_sum_sorted(x, g.senders, g.receivers, w,
                                     g.senders_perm, g.senders_sorted,
-                                    g.n_node_pad, interpret)
+                                    getattr(g, "receivers_by_sender", None),
+                                    wbs, g.n_node_pad, interpret)
     msgs = jnp.take(x, g.senders, axis=0)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]
@@ -533,6 +554,36 @@ def _halo_neighbor_sum(x: Array, g, edge_weight: Array | None,
     ext = halo_extend(x)
     msgs = jnp.take(ext, g.senders, axis=0) * w[:, None]
     return segment_sum(msgs, g.receivers, B, indices_are_sorted=True)
+
+
+def gcn_aggregate(hs: Array, g, dinv: Array) -> Array:
+    """GCN epilogue `dinv ⊙ (A @ hs + hs)` — the transform→aggregate
+    ordering's aggregation with the self-loop term and both norm scalings
+    folded in (`hs` must already carry the sender-side norm, hs = h * dinv).
+
+    On TPU with sorted-edge metadata this runs through the single-launch
+    fused kernel (pallas/gcn_agg.py): aggregate + self term + dinv scale
+    with no intermediate (N, D) tensors in HBM, and a scatter-free backward.
+    Falls back to neighbor_sum + XLA epilogue elsewhere (including edge
+    partitioning, where segment_sum carries the psum)."""
+    dinv = jax.lax.stop_gradient(dinv)
+    eligible = (hs.ndim == 2 and hs.dtype in (jnp.float32, jnp.bfloat16)
+                and _current_axis() is None and halo_state() is None
+                and getattr(g, "senders_perm", None) is not None
+                and g.senders_sorted is not None)
+    spmm = _spmm_mode()
+    if spmm is None:
+        route = eligible and hs.shape[1] >= 64 and _on_tpu()
+        interpret = False
+    else:
+        route = eligible and bool(spmm[0])
+        interpret = spmm[1]
+    if route:
+        from kagnn_tpu.pallas.gcn_agg import gcn_aggregate as _fused
+
+        return _fused(hs, g, dinv, interpret)
+    agg = neighbor_sum(hs, g)
+    return (agg + hs) * dinv[:, None].astype(hs.dtype)
 
 
 def gather(x: Array, indices: Array, sort_perm: Array | None = None,

@@ -340,10 +340,10 @@ def _head_expand(w, c_head):
     return jnp.repeat(w, c_head, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def _gat_attn(h, asrc, adst, amat, senders, receivers, edge_mask,
-              senders_perm, senders_sorted, heads, negative_slope,
-              interpret):
+              senders_perm, senders_sorted, recv_by_sender, mask_by_sender,
+              heads, negative_slope, interpret):
     out, _ = _gat_fwd_parts(h, asrc, adst, amat, senders, receivers,
                             edge_mask, heads, negative_slope, interpret)
     return out
@@ -375,17 +375,20 @@ def _gat_fwd_parts(h, asrc, adst, amat, senders, receivers, edge_mask,
 
 
 def _ga_fwd(h, asrc, adst, amat, senders, receivers, edge_mask, senders_perm,
-            senders_sorted, heads, negative_slope, interpret):
+            senders_sorted, recv_by_sender, mask_by_sender, heads,
+            negative_slope, interpret):
     out, (msgs, alpha) = _gat_fwd_parts(
         h, asrc, adst, amat, senders, receivers, edge_mask, heads,
         negative_slope, interpret)
     return out, (h, asrc, adst, amat, senders, receivers, edge_mask,
-                 senders_perm, senders_sorted, msgs, out, alpha)
+                 senders_perm, senders_sorted, recv_by_sender,
+                 mask_by_sender, msgs, out, alpha)
 
 
 def _ga_bwd(heads, negative_slope, interpret, res, dout):
     (h, asrc, adst, amat, senders, receivers, edge_mask, perm,
-     senders_sorted, msgs, out, alpha) = res
+     senders_sorted, recv_by_sender, mask_by_sender, msgs, out,
+     alpha) = res
     from kagnn_tpu.pallas.gat_bwd import gat_bwd_dadst, gat_bwd_sender
 
     n, hc = h.shape
@@ -417,9 +420,14 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     T = jnp.concatenate(
         [dout_w, *hilo(adst.astype(f32)), *hilo(alpha),
          *hilo(S)], axis=1)                               # (N, hc + 6H)
-    rbs = jnp.take(receivers, perm)
+    # the sender-sorted permuted views are host-side precomputes when the
+    # batcher ships them (on-device (E,) permutes are gather-row-rate-bound)
+    rbs = (jnp.take(receivers, perm) if recv_by_sender is None
+           else recv_by_sender)
+    mbs = (jnp.take(edge_mask, perm) if mask_by_sender is None
+           else mask_by_sender)
     t_table = jnp.take(T, rbs, axis=0)
-    ssm = jnp.where(jnp.take(edge_mask, perm), senders_sorted, IMAX)
+    ssm = jnp.where(mbs, senders_sorted, IMAX)
     dh_msgs, dasrc_e = gat_bwd_sender(t_table, ssm, x_aug, amat_r, H, hc,
                                       negative_slope, interpret)
 
@@ -438,7 +446,8 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
     # recompute asrc values (asrc == x_aug @ amat by construction), and the
     # full sensitivity flows through the `asrc` input
     damat = None if amat is None else jnp.zeros_like(amat)
-    return dh, dasrc, dadst, damat, None, None, None, None, None
+    return (dh, dasrc, dadst, damat, None, None, None, None, None, None,
+            None)
 
 
 _gat_attn.defvjp(_ga_fwd, _ga_bwd)
@@ -467,4 +476,6 @@ def gat_attention_fused(h: Array, asrc: Array, adst: Array, g,
         interpret = not _on_tpu()
     return _gat_attn(h, asrc, adst, att_src_matrix, g.senders, g.receivers,
                      g.edge_mask, g.senders_perm, g.senders_sorted,
+                     getattr(g, "receivers_by_sender", None),
+                     getattr(g, "edge_mask_by_sender", None),
                      asrc.shape[1], float(negative_slope), bool(interpret))

@@ -1,0 +1,205 @@
+"""Fused GCN aggregate epilogue — the transform→aggregate ordering's kernel
+(VERDICT round-3 item 3; the mirror image of gin_fused's
+aggregate-then-transform).
+
+The KAGCN hot path is
+    out_i = d_i^-1/2 * ( sum_{j in N(i)} d_j^-1/2 h_j  +  d_i^-1/2 h_i )
+(reference node_classification_clean/ekan.py:154-162 feeding GCNConv's
+propagate, grafted at models.py:31-37; the symmetric norm factorizes —
+see nn/convs.py GCNConv). With hs := h * d^-1/2 this is
+    out = dinv * (A @ hs + hs).
+
+Round-3 ran this as four HBM passes after the transform kernel: scale h,
+gather messages, SpMM-aggregate (writes agg (N, D)), then an XLA epilogue
+reading agg + hs again. This kernel does aggregate + self-term + dinv scale
+in ONE launch:
+
+  * streams the receiver-sorted messages hs[senders] via the grouped
+    double-buffered DMA pipeline of pallas/spmm.py, accumulating each
+    receiver group with one-hot MXU matmuls in VMEM;
+  * the epilogue adds the group's own hs rows (pipelined contiguous block —
+    no gather) and scales by the group's dinv column, so neither the raw
+    aggregate nor the unscaled sum ever exists in HBM.
+
+The backward is scatter-free and needs no saved kernel state:
+    d hs = A^T (dout * dinv) + dout * dinv
+computed as a gather over the sender-sorted edge copy + one
+sorted-segment-sum (ops/segment.py discipline). d h then flows through the
+transform's own VJP (bspline_fused / fastkan_layer), so the fusion is
+transform-agnostic: KAN, FastKAN and MLP GCN variants all ride it.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kagnn_tpu.pallas.spmm import (G_BLOCKS, ROWS_PER_BLOCK, _acc_dots,
+                                   _pad_to, sorted_segment_sum, vma_shape)
+
+Array = jax.Array
+
+CHUNK_ROWS = 1024
+
+
+def _kernel(offsets_ref, recv_ref, msgs_hbm, hs_ref, dinv_ref, out_ref,
+            acc_ref, scratch, sems, *, d_eff: int, d_in: int, g_blocks: int,
+            out_dtype):
+    g = pl.program_id(0)
+    start = offsets_ref[g * g_blocks]
+    end = offsets_ref[g * g_blocks + g_blocks]
+    c0 = start // CHUNK_ROWS
+    c1 = jax.lax.select(end > start, (end - 1) // CHUNK_ROWS + 1, c0)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            msgs_hbm.at[pl.ds(c * CHUNK_ROWS, CHUNK_ROWS), :],
+            scratch.at[slot], sems.at[slot])
+
+    @pl.when(c1 > c0)
+    def _():
+        get_dma(0, c0).start()
+
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (ROWS_PER_BLOCK, CHUNK_ROWS), 0)
+
+    def body(c, _):
+        slot = (c - c0) % 2
+
+        @pl.when(c + 1 < c1)
+        def _():
+            get_dma((c - c0 + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        m = scratch[slot]
+        ch_lo = c * CHUNK_ROWS
+        ch_hi = ch_lo + CHUNK_ROWS
+        for sb in range(g_blocks):
+            b = g * g_blocks + sb
+            b_start = offsets_ref[b]
+            b_end = offsets_ref[b + 1]
+
+            @pl.when((ch_lo < b_end) & (ch_hi > b_start))
+            def _():
+                ids = row_ids + b * ROWS_PER_BLOCK
+                recv = recv_ref[c, :][None, :]  # (1, CHUNK_ROWS)
+                onehot = (recv == ids).astype(jnp.bfloat16)
+                acc_ref[sb] = _acc_dots(onehot, m, acc_ref[sb])
+
+        return 0
+
+    jax.lax.fori_loop(c0, c1, body, 0)
+
+    # ---- epilogue: out = (agg + hs) * dinv for the group's rows ----------
+    hs = hs_ref[...].astype(jnp.float32)          # (g_blocks*R, d_in)
+    dinv = dinv_ref[...].astype(jnp.float32)      # (g_blocks*R, 1)
+    agg = jnp.concatenate([acc_ref[sb][:, :d_in] for sb in range(g_blocks)],
+                          axis=0)
+    out_ref[...] = ((agg + hs) * dinv).astype(out_dtype)
+
+
+def _fwd_impl(msgs, receivers, hs, dinv, interpret):
+    e, d_orig = msgs.shape
+    n, d_in = hs.shape
+    assert d_orig == d_in
+    d_eff = -(-d_orig // 128) * 128
+    msgs = _pad_to(msgs, d_eff, axis=1)
+    msgs_p = _pad_to(msgs, CHUNK_ROWS)
+    recv_p = _pad_to(receivers.astype(jnp.int32), CHUNK_ROWS,
+                     fill=jnp.iinfo(jnp.int32).max)
+    ep = msgs_p.shape[0]
+    n_chunks = ep // CHUNK_ROWS
+
+    n_blocks = -(-n // ROWS_PER_BLOCK)
+    n_groups = -(-n_blocks // G_BLOCKS)
+    rows_out = n_groups * G_BLOCKS * ROWS_PER_BLOCK
+    hs_p = _pad_to(hs, rows_out)
+    dinv_p = _pad_to(dinv.astype(jnp.float32)[:, None], rows_out)
+    block_starts = jnp.searchsorted(
+        receivers,
+        jnp.arange(n_groups * G_BLOCKS, dtype=jnp.int32) * ROWS_PER_BLOCK
+    ).astype(jnp.int32)
+    offsets = jnp.concatenate([block_starts, jnp.asarray([e], jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((n_chunks, CHUNK_ROWS), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),  # receivers, chunked
+            pl.BlockSpec(memory_space=pl.ANY),      # msgs stay in HBM
+            pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, d_in),
+                         lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, 1),
+                         lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G_BLOCKS * ROWS_PER_BLOCK, d_in),
+                               lambda g, *_: (g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, d_eff), jnp.float32),
+            pltpu.VMEM((2, CHUNK_ROWS, d_eff), msgs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, d_eff=d_eff, d_in=d_in,
+                          g_blocks=G_BLOCKS, out_dtype=hs.dtype),
+        grid_spec=grid_spec,
+        out_shape=vma_shape((rows_out, d_in), hs.dtype, msgs_p),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ep * ROWS_PER_BLOCK * d_eff + 2 * rows_out * d_in,
+            bytes_accessed=msgs.dtype.itemsize * (
+                ep * d_eff + 2 * rows_out * d_in) + 4 * ep,
+            transcendentals=0),
+        interpret=interpret,
+    )(offsets, recv_p.reshape(n_chunks, CHUNK_ROWS), msgs_p, hs_p, dinv_p)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _gcn_agg(hs, dinv, senders, receivers, senders_perm, senders_sorted,
+             recv_by_sender, interpret):
+    msgs = jnp.take(hs, senders, axis=0)
+    return _fwd_impl(msgs, receivers, hs, dinv, interpret)
+
+
+def _ga_fwd(hs, dinv, senders, receivers, senders_perm, senders_sorted,
+            recv_by_sender, interpret):
+    out = _gcn_agg(hs, dinv, senders, receivers, senders_perm,
+                   senders_sorted, recv_by_sender, interpret)
+    return out, (dinv, receivers, senders_perm, senders_sorted,
+                 recv_by_sender, hs.shape[0])
+
+
+def _ga_bwd(interpret, res, dout):
+    dinv, receivers, perm, senders_sorted, recv_by_sender, n = res
+    # out = dinv * (A @ hs + hs)  =>  dhs = A^T (dinv*dout) + dinv*dout
+    dd = dout * dinv[:, None].astype(dout.dtype)
+    if recv_by_sender is None:  # batcher didn't ship the host-side view
+        recv_by_sender = jnp.take(receivers, perm)
+    cot_e = jnp.take(dd, recv_by_sender, axis=0)
+    dhs = sorted_segment_sum(cot_e, senders_sorted, n, interpret) + dd
+    return dhs, None, None, None, None, None, None
+
+
+_gcn_agg.defvjp(_ga_fwd, _ga_bwd)
+
+
+def gcn_aggregate(hs: Array, g, dinv: Array, interpret: bool = False) -> Array:
+    """out = dinv ⊙ (A @ hs + hs) over a receiver-sorted GraphBatch, in one
+    Pallas launch (aggregate + self-loop term + norm scale fused).
+
+    `hs` must already carry the sender-side norm (hs = h * dinv); `dinv` is
+    d^-1/2 with self-loops (data-independent — treated as non-differentiable,
+    same contract as neighbor_sum's edge_weight). Padded edges point at the
+    masked last row (batcher invariant), so no edge mask is needed.
+    """
+    return _gcn_agg(hs, jax.lax.stop_gradient(dinv), g.senders, g.receivers,
+                    g.senders_perm, g.senders_sorted,
+                    getattr(g, "receivers_by_sender", None), interpret)

@@ -186,9 +186,11 @@ def _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb, grid_min,
     return out[:n], z[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
 def _gin_fastkan(x, senders, receivers, edge_mask, senders_perm,
-                 senders_sorted, params, eps, grid_min, grid_max, num_grids,
+                 senders_sorted, recv_by_sender, mask_by_sender, params,
+                 eps, grid_min, grid_max, num_grids,
                  denominator, ln_eps, interpret):
     lng, lnb, w_gdo, wb_do, bb = params
     msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
@@ -199,21 +201,22 @@ def _gin_fastkan(x, senders, receivers, edge_mask, senders_perm,
 
 
 def _gf_fwd(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
-            params, eps, grid_min, grid_max, num_grids, denominator, ln_eps,
-            interpret):
+            recv_by_sender, mask_by_sender, params, eps, grid_min, grid_max,
+            num_grids, denominator, ln_eps, interpret):
     lng, lnb, w_gdo, wb_do, bb = params
     msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
     out, z = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
     return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
-                 lng, lnb, w_gdo, wb_do, x.shape[0])
+                 recv_by_sender, mask_by_sender, lng, lnb, w_gdo, wb_do,
+                 x.shape[0])
 
 
 def _gf_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
             interpret, res, dout):
-    (z, receivers, edge_mask, perm, senders_sorted, lng, lnb, w_gdo, wb_do,
-     n) = res
+    (z, receivers, edge_mask, perm, senders_sorted, recv_by_sender,
+     mask_by_sender, lng, lnb, w_gdo, wb_do, n) = res
     d_in = z.shape[1]
     # FastKANLayer backward on the saved aggregate (everything
     # rematerialized in-kernel from z; pallas/fastkan_layer.py — its
@@ -224,13 +227,18 @@ def _gf_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
     dlng, dlnb, dbb = (dlng.reshape(d_in), dlnb.reshape(d_in),
                        dbb.reshape(-1))
 
-    # dx = (1+eps) dz + A^T dz over the sender-sorted copy — no scatter
-    recv_by_sender = jnp.take(receivers, perm)
+    # dx = (1+eps) dz + A^T dz over the sender-sorted copy — no scatter;
+    # permuted views are host-side precomputes when the batcher ships them
+    if recv_by_sender is None:
+        recv_by_sender = jnp.take(receivers, perm)
+    if mask_by_sender is None:
+        mask_by_sender = jnp.take(edge_mask, perm)
     cot_e = jnp.take(dz, recv_by_sender, axis=0)
-    cot_e = cot_e * jnp.take(edge_mask, perm).astype(cot_e.dtype)[:, None]
+    cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
     dx_a = sorted_segment_sum(cot_e, senders_sorted, n, interpret)
     dx = (1.0 + eps) * dz + dx_a
-    return (dx, None, None, None, None, None, (dlng, dlnb, dw, dwb, dbb))
+    return (dx, None, None, None, None, None, None, None,
+            (dlng, dlnb, dw, dwb, dbb))
 
 
 _gin_fastkan.defvjp(_gf_fwd, _gf_bwd)
@@ -239,9 +247,10 @@ _gin_fastkan.defvjp(_gf_fwd, _gf_bwd)
 # ------------------------------------------------- halo (node-sharded) ----
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17))
 def _gin_fastkan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
-                     senders_sorted, params, eps, grid_min, grid_max,
+                     senders_sorted, recv_by_sender, mask_by_sender, params,
+                     eps, grid_min, grid_max,
                      num_grids, denominator, ln_eps, interpret, axis):
     """Node-sharded fused GIN+FastKAN: `ext` is the extended [local; halo]
     sender table from a differentiable halo exchange."""
@@ -254,7 +263,8 @@ def _gin_fastkan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
 
 
 def _gfe_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
-             senders_sorted, params, eps, grid_min, grid_max, num_grids,
+             senders_sorted, recv_by_sender, mask_by_sender, params, eps,
+             grid_min, grid_max, num_grids,
              denominator, ln_eps, interpret, axis):
     lng, lnb, w_gdo, wb_do, bb = params
     msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
@@ -262,26 +272,30 @@ def _gfe_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
     return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
-                 lng, lnb, w_gdo, wb_do, ext.shape[0])
+                 recv_by_sender, mask_by_sender, lng, lnb, w_gdo, wb_do,
+                 ext.shape[0])
 
 
 def _gfe_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
              interpret, axis, res, dout):
-    (z, receivers, edge_mask, perm, senders_sorted, lng, lnb, w_gdo, wb_do,
-     n_ext) = res
+    (z, receivers, edge_mask, perm, senders_sorted, recv_by_sender,
+     mask_by_sender, lng, lnb, w_gdo, wb_do, n_ext) = res
     d_in = z.shape[1]
     dz, dlng, dlnb, dw, dwb, dbb = _layer_vjp_bwd(
         grid_min, grid_max, num_grids, denominator, ln_eps, interpret, None,
         (z, lng.reshape(1, d_in), lnb.reshape(1, d_in), w_gdo, wb_do), dout)
     dlng, dlnb, dbb = (dlng.reshape(d_in), dlnb.reshape(d_in),
                        dbb.reshape(-1))
-    recv_by_sender = jnp.take(receivers, perm)
+    if recv_by_sender is None:
+        recv_by_sender = jnp.take(receivers, perm)
+    if mask_by_sender is None:
+        mask_by_sender = jnp.take(edge_mask, perm)
     cot_e = jnp.take(dz, recv_by_sender, axis=0)
-    cot_e = cot_e * jnp.take(edge_mask, perm).astype(cot_e.dtype)[:, None]
+    cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
     dext = sorted_segment_sum(cot_e, senders_sorted, n_ext, interpret)
     dx = (1.0 + eps) * dz
     # weight grads stay per-shard partials (see gin_fused._gke_bwd)
-    return (dx, dext, None, None, None, None, None,
+    return (dx, dext, None, None, None, None, None, None, None,
             (dlng, dlnb, dw, dwb, dbb))
 
 
@@ -316,6 +330,8 @@ def gin_fastkan_fused(x: Array, g, eps: float, ln_scale: Array,
     return _gin_fastkan(
         x, g.senders, g.receivers, g.edge_mask, g.senders_perm,
         g.senders_sorted,
+        getattr(g, "receivers_by_sender", None),
+        getattr(g, "edge_mask_by_sender", None),
         (ln_scale, ln_bias, w_gdo, jnp.transpose(base_weight),
          base_bias), float(eps), float(grid_min), float(grid_max), G,
         float(denominator), float(ln_eps), bool(interpret))
@@ -344,6 +360,8 @@ def gin_fastkan_fused_halo(x: Array, g, eps: float, ln_scale: Array,
     return _gin_fastkan_ext(
         x, ext, g.senders, g.receivers, g.edge_mask, g.senders_perm,
         g.senders_sorted,
+        getattr(g, "receivers_by_sender", None),
+        getattr(g, "edge_mask_by_sender", None),
         (ln_scale, ln_bias, w_gdo, jnp.transpose(base_weight), base_bias),
         float(eps), float(grid_min), float(grid_max), G, float(denominator),
         float(ln_eps), bool(interpret), axis)

@@ -190,9 +190,9 @@ def _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k, interpret):
     return out[:n], z[:n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def _gin_kan(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
-             params, eps, k, interpret):
+             recv_by_sender, mask_by_sender, params, eps, k, interpret):
     grid_kd, wb_do, ws_gdo = params
     msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
     out, _ = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
@@ -201,13 +201,14 @@ def _gin_kan(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
 
 
 def _gk_fwd(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
-            params, eps, k, interpret):
+            recv_by_sender, mask_by_sender, params, eps, k, interpret):
     grid_kd, wb_do, ws_gdo = params
     msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
     out, z = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
-                 grid_kd, wb_do, ws_gdo, x.shape[0])
+                 recv_by_sender, mask_by_sender, grid_kd, wb_do, ws_gdo,
+                 x.shape[0])
 
 
 def _kan_bwd_on_z(z, dout, grid_kd, wb_do, ws_gdo, k, interpret):
@@ -252,18 +253,23 @@ def _kan_bwd_on_z(z, dout, grid_kd, wb_do, ws_gdo, k, interpret):
 
 
 def _gk_bwd(eps, k, interpret, res, dout):
-    (z, receivers, edge_mask, perm, senders_sorted, grid_kd, wb_do, ws_gdo,
-     n) = res
+    (z, receivers, edge_mask, perm, senders_sorted, recv_by_sender,
+     mask_by_sender, grid_kd, wb_do, ws_gdo, n) = res
     dz, dwb, dws = _kan_bwd_on_z(z, dout, grid_kd, wb_do, ws_gdo, k,
                                  interpret)
 
-    # dx = (1+eps) dz + A^T dz over the sender-sorted copy — no scatter
-    recv_by_sender = jnp.take(receivers, perm)
+    # dx = (1+eps) dz + A^T dz over the sender-sorted copy — no scatter;
+    # the permuted views are host-side precomputes when the batcher ships
+    # them (on-device (E,) permutes are gather-row-rate-bound)
+    if recv_by_sender is None:
+        recv_by_sender = jnp.take(receivers, perm)
+    if mask_by_sender is None:
+        mask_by_sender = jnp.take(edge_mask, perm)
     cot_e = jnp.take(dz, recv_by_sender, axis=0)
-    cot_e = cot_e * jnp.take(edge_mask, perm).astype(cot_e.dtype)[:, None]
+    cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
     dx_a = sorted_segment_sum(cot_e, senders_sorted, n, interpret)
     dx = (1.0 + eps) * dz + dx_a
-    return (dx, None, None, None, None, None,
+    return (dx, None, None, None, None, None, None, None,
             (jnp.zeros_like(grid_kd), dwb, dws))
 
 
@@ -272,9 +278,10 @@ _gin_kan.defvjp(_gk_fwd, _gk_bwd)
 
 # ------------------------------------------------- halo (node-sharded) ----
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def _gin_kan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
-                 senders_sorted, params, eps, k, interpret, axis):
+                 senders_sorted, recv_by_sender, mask_by_sender, params,
+                 eps, k, interpret, axis):
     """Fused GIN+KAN over a node SHARD: `x` (B, D) is the local rows,
     `ext` (B + halo, D) the extended [local; halo] sender table (produced
     by a differentiable halo exchange — its VJP routes the halo rows'
@@ -287,28 +294,33 @@ def _gin_kan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
 
 
 def _gke_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
-             senders_sorted, params, eps, k, interpret, axis):
+             senders_sorted, recv_by_sender, mask_by_sender, params,
+             eps, k, interpret, axis):
     grid_kd, wb_do, ws_gdo = params
     msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
     out, z = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
-                 grid_kd, wb_do, ws_gdo, ext.shape[0])
+                 recv_by_sender, mask_by_sender, grid_kd, wb_do, ws_gdo,
+                 ext.shape[0])
 
 
 def _gke_bwd(eps, k, interpret, axis, res, dout):
-    (z, receivers, edge_mask, perm, senders_sorted, grid_kd, wb_do, ws_gdo,
-     n_ext) = res
+    (z, receivers, edge_mask, perm, senders_sorted, recv_by_sender,
+     mask_by_sender, grid_kd, wb_do, ws_gdo, n_ext) = res
     dz, dwb, dws = _kan_bwd_on_z(z, dout, grid_kd, wb_do, ws_gdo, k,
                                  interpret)
-    recv_by_sender = jnp.take(receivers, perm)
+    if recv_by_sender is None:
+        recv_by_sender = jnp.take(receivers, perm)
+    if mask_by_sender is None:
+        mask_by_sender = jnp.take(edge_mask, perm)
     cot_e = jnp.take(dz, recv_by_sender, axis=0)
-    cot_e = cot_e * jnp.take(edge_mask, perm).astype(cot_e.dtype)[:, None]
+    cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
     dext = sorted_segment_sum(cot_e, senders_sorted, n_ext, interpret)
     dx = (1.0 + eps) * dz
     # weight grads stay per-shard partials — the halo step body all-reduces
     # the whole grad tree once (legacy shard_map semantics, check_vma=False)
-    return (dx, dext, None, None, None, None, None,
+    return (dx, dext, None, None, None, None, None, None, None,
             (jnp.zeros_like(grid_kd), dwb, dws))
 
 
@@ -335,7 +347,10 @@ def gin_kan_fused(x: Array, g, eps: float, grid: Array, base_weight: Array,
     if interpret is None:
         interpret = not _on_tpu()
     return _gin_kan(x, g.senders, g.receivers, g.edge_mask, g.senders_perm,
-                    g.senders_sorted, (grid.T, wb_do, ws_gdo), float(eps),
+                    g.senders_sorted,
+                    getattr(g, "receivers_by_sender", None),
+                    getattr(g, "edge_mask_by_sender", None),
+                    (grid.T, wb_do, ws_gdo), float(eps),
                     int(spline_order), bool(interpret))
 
 
@@ -358,5 +373,7 @@ def gin_kan_fused_halo(x: Array, g, eps: float, grid: Array,
     axis = segment.halo_state().axis
     return _gin_kan_ext(x, ext, g.senders, g.receivers, g.edge_mask,
                         g.senders_perm, g.senders_sorted,
+                        getattr(g, "receivers_by_sender", None),
+                        getattr(g, "edge_mask_by_sender", None),
                         (grid.T, wb_do, ws_gdo), float(eps),
                         int(spline_order), bool(interpret), axis)

@@ -206,3 +206,35 @@ def test_fused_gin_matches_single_device_in_halo(arch):
     for a, b in zip(flat_h, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-6)
+
+
+def test_singleton_specialization_matches_full():
+    """n_shards=1 takes the specialized plain-step path (no shard_map, no
+    all_to_all); it must match the full halo machinery (force_full=True)
+    loss-for-loss over several steps, and eval must agree too."""
+    g = _graph(96, seed=11)
+    model = NodeClassifier(conv_type="gin", architecture="fastkan",
+                           mp_layers=2, num_features=6, hidden_channels=8,
+                           num_classes=3, skip=False, grid_size=4,
+                           dropout=0.0)
+    tx = optax.sgd(1e-2)
+    state, _ = create_train_state(model, jax.random.key(0), g, tx)
+    mask = np.asarray(g.node_mask)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("graph",))
+    plan = build_halo_plan(g, 1)
+    assert plan.boundary_rows == 0
+
+    step_s, eval_s = make_halo_node_step(model, tx, mesh, plan, g, mask)
+    step_f, eval_f = make_halo_node_step(model, tx, mesh, plan, g, mask,
+                                         force_full=True)
+    key = jax.random.key(3)
+    ss, sf = state, state
+    for _ in range(3):
+        ss, loss_s = step_s(ss, key)
+        sf, loss_f = step_f(sf, key)
+        np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=1e-5)
+    em = np.asarray(g.node_mask)
+    ls, accs = eval_s(ss, em)
+    lf, accf = eval_f(sf, em)
+    np.testing.assert_allclose(float(ls), float(lf), rtol=1e-5)
+    np.testing.assert_allclose(float(accs), float(accf), rtol=1e-6)
