@@ -458,13 +458,28 @@ def make_halo_node_step(model, tx: optax.GradientTransformation, mesh: Mesh,
 
     shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    arrs = {k: jax.device_put(v, shard) for k, v in arrs.items()}
+
+    def _to_global(x, sharding):
+        """Place `x` (host or single-device array) as a global array with
+        `sharding`. Unlike device_put this works when the mesh spans
+        multiple processes (each process contributes its addressable
+        shards); already-correctly-sharded arrays pass through."""
+        if isinstance(x, jax.Array):
+            try:
+                if x.sharding.is_equivalent_to(sharding, x.ndim):
+                    return x
+            except Exception:
+                pass
+        shape = tuple(x.shape)
+        idx_map = sharding.addressable_devices_indices_map(shape)
+        bufs = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+        return jax.make_array_from_single_device_arrays(shape, sharding,
+                                                        bufs)
+
+    arrs = {k: _to_global(v, shard) for k, v in arrs.items()}
 
     def _rep(tree):
-        return jax.tree.map(
-            lambda a: a if (isinstance(a, jax.Array)
-                            and a.sharding.is_equivalent_to(rep, a.ndim))
-            else jax.device_put(a, rep), tree)
+        return jax.tree.map(lambda a: _to_global(a, rep), tree)
 
     def step(state: TrainState, key):
         if "fn" not in cache:
@@ -476,9 +491,8 @@ def make_halo_node_step(model, tx: optax.GradientTransformation, mesh: Mesh,
 
     def evaluate(state: TrainState, eval_mask):
         """eval_mask: global (Np,) bool — sharded internally."""
-        em = jax.device_put(
-            jnp.asarray(plan.shard_nodes(np.asarray(eval_mask),
-                                         fill=False)), shard)
+        em = _to_global(plan.shard_nodes(np.asarray(eval_mask), fill=False),
+                        shard)
         if "ev" not in cache:
             st_spec = jax.tree.map(lambda _: P(), state)
             cache["ev"] = jax.jit(shard_map(
