@@ -79,14 +79,25 @@ def main():
             cal = json.load(f)
     except Exception:
         cal = {}
+    # Plausibility gate (advisor round-3 item 2): reject anything above the
+    # chip's paper peak (819 GB/s — nothing real can exceed it) OR more than
+    # 1.5x the previously-committed ceiling (a tunnel early-return artifact
+    # between the real plateau and the peak would otherwise permanently
+    # inflate the ceiling and deflate every downstream pct_of_sol). The raw
+    # row is ALWAYS persisted — flagged — so a bogus run leaves a trace.
+    prior = cal.get("practical_ceiling_gbps")
+    implausible = (row["inloop_stream_gbps"] > cal.get("paper_peak_gbps", 819)
+                   or (prior and row["inloop_stream_gbps"] > 1.5 * prior))
+    if implausible:
+        row["implausible"] = True
+        row["reason"] = (f"> paper peak or > 1.5x prior ceiling ({prior}); "
+                         "likely tunnel early-return — ceiling not updated")
+        print("WARNING: implausible bandwidth; persisting flagged row only")
     cal["inloop"] = row
-    if row["inloop_stream_gbps"] > 1500:
-        # paper peak is 819; anything above means the measurement did not
-        # actually block (the tunnel's block_until_ready can return early)
-        print("WARNING: implausible bandwidth; not updating ceiling")
-        return
-    cal["practical_ceiling_gbps"] = max(
-        cal.get("practical_ceiling_gbps", 0), row["inloop_stream_gbps"])
+    if not implausible:
+        # overwrite, don't max-ratchet: the ceiling should track the most
+        # recent plausible measurement of THIS chip, not the historical max
+        cal["practical_ceiling_gbps"] = row["inloop_stream_gbps"]
     with open(path, "w") as f:
         json.dump(cal, f, indent=1)
 

@@ -107,42 +107,25 @@ def _timeit(fn, args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def _setup_model():
+def _setup_model(conv: str = "gin", arch: str = "kan"):
+    """bench.py's exact construction (shared helpers: on-device synthetic
+    features — the 83 MB matrix never crosses the ~1 MB/s tunnel — and the
+    /tmp-cached CPU init with f32 master params; see bench.py for why both
+    matter). Phase numbers must decompose the same executable the headline
+    row times."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
     import optax
 
-    from kagnn_tpu.data.synthetic import arxiv_scale_graph
-    from kagnn_tpu.graphs import single_graph
+    import bench
     from kagnn_tpu.models import NodeClassifier
-    from kagnn_tpu.ops import segment
-    from kagnn_tpu.train.loops import TrainState, make_node_steps
+    from kagnn_tpu.train.loops import TrainState
 
-    d = arxiv_scale_graph(n_nodes=N_NODES, n_edges=N_EDGES,
-                          num_features=F_IN, n_classes=CLS)
-    # EXACTLY the bench.py construction (edge_pad_multiple=1024): phase
-    # numbers must decompose the same executable the headline row times
-    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
-                     y=d["y"], edge_pad_multiple=1024)
-    mask = jnp.asarray(np.arange(g.n_node_pad) < int(d["n_node"]))
-    kw = dict(conv_type="gin", architecture="kan", mp_layers=3,
-              num_features=F_IN, hidden_channels=HID, num_classes=CLS,
-              grid_size=4, spline_order=3, skip=False, hidden_layers=2,
-              dropout=0.0)
-    model = NodeClassifier(fused=True, compute_dtype=jnp.bfloat16, **kw)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu), segment.use_pallas_spmm(False):
-        tiny = single_graph(np.array([0, 1]), np.array([1, 0]),
-                            nodes=np.zeros((8, F_IN), np.float32),
-                            y=np.zeros(8, np.int32))
-        # init WITHOUT compute_dtype (exactly as bench.py): params must be
-        # f32 masters — initializing the bf16 twin makes the whole
-        # TrainState bf16, a different and ~40% slower executable
-        # (bf16 Adam + per-step cast chains), which is how a 120 ms
-        # "step" phase once shadowed the 84 ms headline row.
-        variables = NodeClassifier(fused=False, **kw).init(
-            {"params": jax.random.key(0)}, tiny)
+    g, mask = bench._arxiv_batch()
+    model = NodeClassifier(fused=True, compute_dtype=jnp.bfloat16,
+                           conv_type=conv, architecture=arch,
+                           **bench._NODE_KW)
+    variables = bench._init_variables(conv, arch)
     dev = jax.devices()[0]
     variables = jax.tree.map(lambda a: jax.device_put(a, dev), variables)
     tx = optax.adam(1e-3)
@@ -168,7 +151,20 @@ def measure(phase: str) -> dict:
     from kagnn_tpu.train import losses
     from kagnn_tpu.train.loops import make_node_steps
 
-    model, g, mask, state, tx = _setup_model()
+    # gat-* phases run the bench's gat-fastkan-bf16 config (the residual-gap
+    # attribution, VERDICT round-3 item 5); everything else the flagship
+    full_phase = phase
+    conv, arch = "gin", "kan"
+    if phase.startswith("gat-"):
+        conv, arch, phase = "gat", "fastkan", phase[len("gat-"):]
+
+    if phase in ("fwd-kernel", "bwd-dadst", "bwd-sender"):
+        return {"phase": full_phase,
+                **_measure_gat_kernel(phase)}
+    if phase.startswith("halo-"):
+        return {"phase": full_phase, **_measure_halo(phase)}
+
+    model, g, mask, state, tx = _setup_model(conv, arch)
 
     if phase == "step":
         import optax
@@ -197,7 +193,7 @@ def measure(phase: str) -> dict:
         float(lvals[-1])
         float(jax.tree_util.tree_leaves(s.params)[0].sum())
         sec = (time.perf_counter() - t0) / iters
-        return {"phase": phase, "ms": sec * 1e3}
+        return {"phase": full_phase, "ms": sec * 1e3}
 
     if phase == "step-scan":
         # K train steps inside ONE executable (lax.scan): amortizes ALL
@@ -231,7 +227,7 @@ def measure(phase: str) -> dict:
         float(ls[-1])
         float(jax.tree_util.tree_leaves(s.params)[0].sum())
         sec = (time.perf_counter() - t0) / (execs * K)
-        return {"phase": phase, "ms": sec * 1e3}
+        return {"phase": full_phase, "ms": sec * 1e3}
 
     if phase == "fwd":
         def fwd(nodes):
@@ -240,7 +236,7 @@ def measure(phase: str) -> dict:
                  "batch_stats": state.batch_stats},
                 g.replace(nodes=nodes), train=False)
         sec = _timeit(jax.jit(fwd), (g.nodes,))
-        return {"phase": phase, "ms": sec * 1e3}
+        return {"phase": full_phase, "ms": sec * 1e3}
 
     if phase == "fwdbwd":
         def fwd_bwd(nodes):
@@ -254,7 +250,7 @@ def measure(phase: str) -> dict:
                 return losses.masked_softmax_cross_entropy(out, g.y, mask)
             return jax.grad(loss_fn)(state.params)
         sec = _timeit(jax.jit(fwd_bwd), (g.nodes,))
-        return {"phase": phase, "ms": sec * 1e3}
+        return {"phase": full_phase, "ms": sec * 1e3}
 
     if phase == "gather":
         # ONE wide row gather at the step's message width (bf16, 64 lanes).
@@ -264,7 +260,7 @@ def measure(phase: str) -> dict:
         h = jax.random.normal(jax.random.key(3), (g.n_node_pad, HID),
                               jnp.bfloat16)
         sec = _timeit(jax.jit(lambda h: jnp.take(h, g.senders, axis=0)), (h,))
-        return {"phase": phase, "ms": sec * 1e3}
+        return {"phase": full_phase, "ms": sec * 1e3}
 
     if phase == "spmm":
         # ONE fused gather+aggregate (the sorted-segment Pallas kernel) at
@@ -273,7 +269,7 @@ def measure(phase: str) -> dict:
                               jnp.bfloat16)
         from kagnn_tpu.ops import segment as seg
         sec = _timeit(jax.jit(lambda h: seg.neighbor_sum(h, g)), (h,))
-        return {"phase": phase, "ms": sec * 1e3}
+        return {"phase": full_phase, "ms": sec * 1e3}
 
     if phase == "adam":
         import optax
@@ -302,14 +298,138 @@ def measure(phase: str) -> dict:
             p, o = apply_update(p, o, grads)
         float(jax.tree_util.tree_leaves(p)[0].reshape(-1)[0])
         sec = (time.perf_counter() - t0) / iters
-        return {"phase": phase, "ms": sec * 1e3}
+        return {"phase": full_phase, "ms": sec * 1e3}
 
     raise ValueError(phase)
+
+
+def _measure_gat_kernel(which: str) -> dict:
+    """One GAT Pallas kernel launch at bench shapes (H=4 heads, C=64/head,
+    hc=256) with synthetic operands — attributes the gat-fastkan-bf16 gap
+    to fwd kernel vs the two backward kernels vs XLA glue."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    g, _ = bench._arxiv_batch()
+    H, C = 4, HID
+    hc = H * C
+    n = g.n_node_pad
+    k = jax.random.key(11)
+    ks = jax.random.split(k, 8)
+    h = jax.random.normal(ks[0], (n, hc), jnp.bfloat16)
+    asrc = jax.random.normal(ks[1], (n, H), jnp.float32)
+    adst = jax.random.normal(ks[2], (n, H), jnp.float32)
+    amat = jax.random.normal(ks[3], (hc, H), jnp.float32) * 0.1
+
+    if which == "fwd-kernel":
+        from kagnn_tpu.pallas.gat_fused import gat_attention_fused
+
+        def run(h, asrc, adst):
+            return gat_attention_fused(h, asrc, adst, g, 0.2, False,
+                                       att_src_matrix=amat)
+        sec = _timeit(jax.jit(run), (h, asrc, adst))
+        return {"ms": sec * 1e3}
+
+    msgs = jnp.take(h, g.senders, axis=0)
+    dout = jax.random.normal(ks[4], (n, hc), jnp.bfloat16)
+    alpha = jax.random.normal(ks[5], (n, H), jnp.float32)
+    S = jax.random.normal(ks[6], (n, H), jnp.float32)
+    IMAX = 2**31 - 1
+
+    if which == "bwd-dadst":
+        from kagnn_tpu.pallas.gat_bwd import gat_bwd_dadst
+
+        recv_m = jnp.where(g.edge_mask, g.receivers, IMAX)
+
+        def run(msgs, dout, adst, alpha, S):
+            return gat_bwd_dadst(msgs, recv_m, dout, adst, alpha, S, amat,
+                                 H, hc, 0.2, False)
+        sec = _timeit(jax.jit(run), (msgs, dout, adst, alpha, S))
+        return {"ms": sec * 1e3}
+
+    if which == "bwd-sender":
+        from kagnn_tpu.pallas.gat_bwd import gat_bwd_sender
+
+        def hilo(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        T = jnp.concatenate(
+            [dout, *hilo(adst), *hilo(alpha), *hilo(S)], axis=1)
+        rbs = g.receivers_by_sender
+        t_table = jnp.take(T, rbs, axis=0)
+        ssm = jnp.where(g.edge_mask_by_sender, g.senders_sorted, IMAX)
+
+        def run(t_table, h):
+            return gat_bwd_sender(t_table, ssm, h, amat, H, hc, 0.2, False)
+        sec = _timeit(jax.jit(run), (t_table, h))
+        return {"ms": sec * 1e3}
+
+    raise ValueError(which)
+
+
+def _measure_halo(which: str) -> dict:
+    """Halo partition at n_shards=1 on the singleton mesh: the full
+    machinery (force_full) vs the specialized plain path — the committed
+    per-phase breakdown of the partition tax (VERDICT round-3 item 4)."""
+    import jax
+    import numpy as np
+
+    from kagnn_tpu.dist.halo import build_halo_plan, make_halo_node_step
+    from kagnn_tpu.dist.mesh import make_mesh
+
+    model, g, mask, state, tx = _setup_model()
+    mesh = make_mesh((1,), ("graph",), devices=jax.devices()[:1])
+    plan = build_halo_plan(g, 1)
+    force = which == "halo-step-full"
+    step, _ = make_halo_node_step(model, tx, mesh, plan, g,
+                                  np.asarray(mask), force_full=force)
+    key = jax.random.key(7)
+    s_ = state
+    for _ in range(2):
+        s_, loss = step(s_, key)
+    float(loss)
+    float(jax.tree_util.tree_leaves(s_.params)[0].sum())
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        key = jax.random.fold_in(key, 1)
+        s_, loss = step(s_, key)
+    float(loss)
+    float(jax.tree_util.tree_leaves(s_.params)[0].sum())
+    sec = (time.perf_counter() - t0) / iters
+    return {"ms": sec * 1e3}
+
+
+UNTRUSTED_REASONS = {
+    "step-scan": "XLA pessimizes the 10-step scan (~4.5x slower per step "
+                 "than the standalone executable — large-carry loop); NOT "
+                 "a dispatch-overhead measurement. Recorded for the "
+                 "compiler-regression trail only.",
+    "adam": "isolated optimizer executable is dispatch-dominated through "
+            "the tunnel (sub-ms of real work behind ~40 ms RTT); the "
+            "trusted optimizer+loss figure is derived.opt_loss_ms "
+            "(step - fwdbwd).",
+}
+
+SETS = {
+    "core": ["step", "fwd", "fwdbwd", "gather", "spmm"],
+    "untrusted": ["step-scan", "adam"],
+    "gat": ["gat-step", "gat-fwd", "gat-fwdbwd", "gat-fwd-kernel",
+            "gat-bwd-dadst", "gat-bwd-sender"],
+    "halo": ["halo-step-full", "halo-step-spec"],
+}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--phase", default=None)
+    p.add_argument("--set", default="all",
+                   help="comma list of phase sets: core,gat,halo,untrusted "
+                        "or 'all'")
     p.add_argument("--no-write", action="store_true")
     args = p.parse_args()
 
@@ -317,9 +437,10 @@ def main():
         print(json.dumps(measure(args.phase)))
         return
 
+    sets = (list(SETS) if args.set == "all" else args.set.split(","))
+    phases = [ph for sname in sets for ph in SETS[sname]]
     rows = {}
-    for phase in ("step", "step-scan", "fwd", "fwdbwd", "gather", "spmm",
-                  "adam"):
+    for phase in phases:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
             capture_output=True, text=True, timeout=3600)
@@ -329,6 +450,8 @@ def main():
                 break
         else:
             rows[phase] = {"phase": phase, "error": r.stderr[-500:]}
+        print(f"# {phase}: {rows[phase].get('ms', rows[phase])}",
+              file=sys.stderr)
 
     cal_path = os.path.join(ROOT, "CALIBRATION.json")
     ceiling, cal = None, {}
@@ -336,24 +459,64 @@ def main():
         cal = json.load(open(cal_path))
         ceiling = cal["practical_ceiling_gbps"]
 
-    step_ms = rows.get("step", {}).get("ms")
-    scan_ms = rows.get("step-scan", {}).get("ms")
-    fwd_ms = rows.get("fwd", {}).get("ms")
-    fb_ms = rows.get("fwdbwd", {}).get("ms")
+    def ms(name):
+        return rows.get(name, {}).get("ms")
+
+    step_ms, fwd_ms, fb_ms = ms("step"), ms("fwd"), ms("fwdbwd")
+    trusted = {k: v for k, v in rows.items() if k not in UNTRUSTED_REASONS}
+    untrusted = {k: {**rows[k], "reason": UNTRUSTED_REASONS[k]}
+                 for k in UNTRUSTED_REASONS if k in rows}
     min_bytes = flagship_min_bytes()
     out = {
-        "phases": rows,
+        "phases": trusted,
+        "untrusted": untrusted,
         "derived": {
             "bwd_ms": round(fb_ms - fwd_ms, 2) if fb_ms and fwd_ms else None,
-            "adam_loss_ms": round(step_ms - fb_ms, 2)
+            "opt_loss_ms": round(step_ms - fb_ms, 2)
             if step_ms and fb_ms else None,
-            "dispatch_overhead_ms": round(step_ms - scan_ms, 2)
-            if step_ms and scan_ms else None,
         },
         "min_hbm_bytes": min_bytes,
         "min_hbm_gb": round(min_bytes / 1e9, 3),
         "practical_ceiling_gbps": ceiling,
     }
+    # GAT attribution (VERDICT round-3 item 5): fwd kernel / two bwd
+    # kernels / XLA glue (gathers + T-table assembly + optimizer)
+    gstep, gfwd, gfb = ms("gat-step"), ms("gat-fwd"), ms("gat-fwdbwd")
+    kf, kd, ks_ = (ms("gat-fwd-kernel"), ms("gat-bwd-dadst"),
+                   ms("gat-bwd-sender"))
+    if gstep:
+        gat = {"step_ms": round(gstep, 2)}
+        if gfwd:
+            gat["fwd_ms"] = round(gfwd, 2)
+        if gfb and gfwd:
+            gat["bwd_ms"] = round(gfb - gfwd, 2)
+        if gstep and gfb:
+            gat["opt_loss_ms"] = round(gstep - gfb, 2)
+        # per-launch kernel costs x3 conv layers
+        for name, v in (("fwd_kernel_ms_per_launch", kf),
+                        ("bwd_dadst_ms_per_launch", kd),
+                        ("bwd_sender_ms_per_launch", ks_)):
+            if v:
+                gat[name] = round(v, 2)
+        if all(v for v in (gfb, kf, kd, ks_)):
+            kernels_total = 3 * (kf + kd + ks_)
+            gat["kernels_total_ms"] = round(kernels_total, 2)
+            gat["glue_ms"] = round(gfb - kernels_total, 2)
+        out["gat"] = gat
+    # Halo partition tax at 1 shard (VERDICT round-3 item 4)
+    hfull, hspec = ms("halo-step-full"), ms("halo-step-spec")
+    if hfull or hspec:
+        halo = {}
+        if hfull:
+            halo["step_full_ms"] = round(hfull, 2)
+        if hspec:
+            halo["step_specialized_ms"] = round(hspec, 2)
+        if step_ms:
+            if hfull:
+                halo["full_tax_x"] = round(hfull / step_ms, 3)
+            if hspec:
+                halo["specialized_tax_x"] = round(hspec / step_ms, 3)
+        out["halo"] = halo
     if ceiling and step_ms:
         sol_ms = min_bytes / (ceiling * 1e9) * 1e3
         out["sol_step_ms"] = round(sol_ms, 2)
@@ -361,15 +524,6 @@ def main():
         out["pct_of_sol_wall"] = round(100 * sol_ms / step_ms, 1)
         out["effective_gbps_wall"] = round(
             min_bytes / (step_ms / 1e3) / 1e9, 1)
-        if scan_ms and scan_ms < step_ms:
-            # device-only (scan-amortized dispatch) — meaningful only when
-            # the scanned executable isn't itself pessimized (measured:
-            # XLA compiles the 10-step scan ~4.5x SLOWER per step than the
-            # standalone step — large-carry loop pessimization — so the
-            # pipelined wall number above IS the device-bound number here)
-            out["pct_of_sol_device"] = round(100 * sol_ms / scan_ms, 1)
-            out["effective_gbps_device"] = round(
-                min_bytes / (scan_ms / 1e3) / 1e9, 1)
 
         # Row-rate-aware SoL: XLA's TPU row gather is ROW-RATE-bound
         # (~147M rows/s, locality- and width-independent up to ~128 lanes
@@ -389,6 +543,19 @@ def main():
             out["rowrate_sol_ms"] = round(row_ms + stream_ms, 2)
             out["pct_of_rowrate_sol"] = round(
                 100 * (row_ms + stream_ms) / step_ms, 1)
+    # internal consistency: a committed artifact must be self-describing
+    # (VERDICT round-3 item 8) — flag any trusted-row relation that fails
+    flags = []
+    slack = 1.10  # tunnel run-to-run noise
+    if fwd_ms and fb_ms and not fwd_ms <= fb_ms * slack:
+        flags.append("fwd > fwdbwd")
+    if fb_ms and step_ms and not fb_ms <= step_ms * slack:
+        flags.append("fwdbwd > step")
+    for k, v in out["derived"].items():
+        if v is not None and v < 0:
+            flags.append(f"derived.{k} negative")
+    out["consistency"] = {"ok": not flags, "flags": flags,
+                          "slack": slack}
     print(json.dumps(out, indent=1))
     if not args.no_write:
         with open(os.path.join(ROOT, "LEDGER.json"), "w") as f:

@@ -14,13 +14,16 @@ supported but off by default — measured slower (the kernel is not
 bandwidth-bound at those widths).
 
 Measured position (1 chip via tunnel, arxiv scale E=1.17M):
-  * this chip's PRACTICAL streaming ceiling is ~350-400 GB/s (XLA
-    elementwise over the same array: 373 GB/s; a pure Pallas DMA-chain
-    reduce with this kernel's structure: 347 GB/s) — NOT the 819 GB/s paper
-    number previous roofline notes used;
-  * the kernel runs at ~72% of its own streaming bound (D=128 f32:
-    ~215 GB/s effective vs ~300 GB/s pure-stream); the gap is the per-chunk
-    indicator build (VPU compare+select) + one-hot MXU passes;
+  * this chip's PRACTICAL streaming ceiling is the round-3 CALIBRATED
+    260.2 GB/s (CALIBRATION.json practical_ceiling_gbps, measured by the
+    K-passes-in-one-executable probe experiments/calibrate_inloop.py) —
+    NOT the 819 GB/s paper number, and not the earlier 350-400 GB/s
+    estimate (superseded: those one-pass numbers were inflated by
+    per-execution overhead corrections the in-loop probe eliminated);
+  * the kernel's measured ~215 GB/s effective (D=128 f32) is ~83% of the
+    calibrated ceiling (215/260.2 = 82.7%; re-check with
+    experiments/roofline.py after kernel changes). The residual is the
+    per-chunk indicator build (VPU compare+select) + one-hot MXU passes;
   * tiling/DMA-depth sweeps (chunk 512-2048, groups 4-16, 2-8 DMA slots,
     lane packing) all land within +-5%, confirming compute-overhead, not
     DMA latency, as the residual.
