@@ -233,20 +233,27 @@ def _measure_node_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
         # host transfer of freshly-computed values cannot be faked
         float(loss)
         float(jax.tree_util.tree_leaves(s.params)[0].sum())
-        t0 = time.perf_counter()
-        losses = []
-        for _ in range(iters):
-            nodes = nodes * (1.0 + 1e-6)
-            s, loss = step_fn(s, g.replace(nodes=nodes), mask, key)
-            losses.append(loss)
-        # the last loss + updated params transitively depend on every step
-        last_loss = float(losses[-1])
-        checksum = float(jax.tree_util.tree_leaves(s.params)[0].sum())
-        sec = (time.perf_counter() - t0) / iters
+        # best-of-3 windows: the relay's per-process stream rate sometimes
+        # settles degraded (~2.5x) for the first executions of a new
+        # executable — the min window is the real device rate
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            losses = []
+            for _ in range(iters):
+                nodes = nodes * (1.0 + 1e-6)
+                s, loss = step_fn(s, g.replace(nodes=nodes), mask, key)
+                losses.append(loss)
+            # last loss + params transitively depend on every step
+            last_loss = float(losses[-1])
+            checksum = float(jax.tree_util.tree_leaves(s.params)[0].sum())
+            windows.append((time.perf_counter() - t0) / iters)
+        sec = min(windows)
     return {"sec_per_step": sec, "n_edges": int(g.n_edge),
             "backend": jax.default_backend(),
             "loss_finite": bool(np.isfinite(last_loss)),
             "suspect": bool(sec < 0.005),  # non-blocking-timing artifact
+            "windows": [round(w, 5) for w in windows],
             "checksum": checksum}
 
 
@@ -414,17 +421,23 @@ def _measure_halo_1dev(warmup: int = 2, iters: int = 10) -> dict:
     float(loss)
     float(jax.tree_util.tree_leaves(s_.params)[0].sum())
     # params evolve every step, so no two executions are identical (the
-    # relay-cache defeat the other rows get from input perturbation)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key = jax.random.fold_in(key, 1)
-        s_, loss = step(s_, key)
-    float(loss)
-    float(jax.tree_util.tree_leaves(s_.params)[0].sum())
-    sec = (time.perf_counter() - t0) / iters
+    # relay-cache defeat the other rows get from input perturbation);
+    # best-of-3 windows as in _measure_node_path (per-process relay
+    # stream-rate variance)
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key = jax.random.fold_in(key, 1)
+            s_, loss = step(s_, key)
+        float(loss)
+        float(jax.tree_util.tree_leaves(s_.params)[0].sum())
+        windows.append((time.perf_counter() - t0) / iters)
+    sec = min(windows)
     return {"sec_per_step": sec, "n_edges": int(g.n_edge),
             "backend": jax.default_backend(),
             "suspect": bool(sec < 0.005),
+            "windows": [round(w, 5) for w in windows],
             "loss_finite": bool(np.isfinite(float(loss)))}
 
 

@@ -252,6 +252,26 @@ def measure(phase: str) -> dict:
         sec = _timeit(jax.jit(fwd_bwd), (g.nodes,))
         return {"phase": full_phase, "ms": sec * 1e3}
 
+    if phase == "valgrad":
+        # EXACTLY the step's loss_fn (value_and_grad + has_aux batch_stats)
+        # minus the optimizer update — isolates whether the step-vs-fwdbwd
+        # residual is the optimizer or the value/aux plumbing
+        def val_grad(nodes):
+            def loss_fn(params):
+                out, mut = model.apply(
+                    {"params": params, "buffers": state.buffers,
+                     "batch_stats": state.batch_stats},
+                    g.replace(nodes=nodes), train=True,
+                    rngs={"dropout": jax.random.key(1)},
+                    mutable=["batch_stats"])
+                return (losses.masked_softmax_cross_entropy(out, g.y, mask),
+                        mut)
+            (loss, mut), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return loss, grads
+        sec = _timeit(jax.jit(val_grad), (g.nodes,))
+        return {"phase": full_phase, "ms": sec * 1e3}
+
     if phase == "gather":
         # ONE wide row gather at the step's message width (bf16, 64 lanes).
         # XLA's TPU gather is row-rate-bound (~8-9 ms at E=1.17M regardless
@@ -416,7 +436,7 @@ UNTRUSTED_REASONS = {
 }
 
 SETS = {
-    "core": ["step", "fwd", "fwdbwd", "gather", "spmm"],
+    "core": ["step", "fwd", "fwdbwd", "valgrad", "gather", "spmm"],
     "untrusted": ["step-scan", "adam"],
     "gat": ["gat-step", "gat-fwd", "gat-fwdbwd", "gat-fwd-kernel",
             "gat-bwd-dadst", "gat-bwd-sender"],
@@ -467,6 +487,7 @@ def main():
     untrusted = {k: {**rows[k], "reason": UNTRUSTED_REASONS[k]}
                  for k in UNTRUSTED_REASONS if k in rows}
     min_bytes = flagship_min_bytes()
+    vg_ms = ms("valgrad")
     out = {
         "phases": trusted,
         "untrusted": untrusted,
@@ -474,6 +495,12 @@ def main():
             "bwd_ms": round(fb_ms - fwd_ms, 2) if fb_ms and fwd_ms else None,
             "opt_loss_ms": round(step_ms - fb_ms, 2)
             if step_ms and fb_ms else None,
+            # loss-value/aux plumbing vs pure-grad; and the true optimizer
+            # cost once the value path is accounted
+            "value_aux_ms": round(vg_ms - fb_ms, 2)
+            if vg_ms and fb_ms else None,
+            "optimizer_ms": round(step_ms - vg_ms, 2)
+            if step_ms and vg_ms else None,
         },
         "min_hbm_bytes": min_bytes,
         "min_hbm_gb": round(min_bytes / 1e9, 3),
@@ -490,6 +517,9 @@ def main():
             gat["fwd_ms"] = round(gfwd, 2)
         if gfb and gfwd:
             gat["bwd_ms"] = round(gfb - gfwd, 2)
+        vg = ms("gat-valgrad")
+        if vg:
+            gat["valgrad_ms"] = round(vg, 2)
         if gstep and gfb:
             gat["opt_loss_ms"] = round(gstep - gfb, 2)
         # per-launch kernel costs x3 conv layers

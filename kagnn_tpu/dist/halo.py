@@ -327,6 +327,42 @@ def _psum_masked_ce(logits: Array, labels: Array, mask: Array,
     return num / jnp.maximum(den, 1.0)
 
 
+def _make_singleton_step_direct(model, tx, g: GraphBatch, mask,
+                                plan: HaloPlan):
+    """n_shards=1 with matching node layout: train/eval on the ORIGINAL
+    batch — zero repacking, no host round-trip of device-resident arrays."""
+    import optax as _optax
+
+    from kagnn_tpu.train.loops import make_node_steps
+
+    loss_mask = jnp.asarray(mask)
+    step_fn, _ = make_node_steps(model, tx)
+
+    def step(state: TrainState, key):
+        return step_fn(state, g, loss_mask, key)
+
+    @jax.jit
+    def _ev(state: TrainState, em):
+        out = model.apply(state.variables(), g, train=False)
+        y = g.y.astype(jnp.int32)
+        ll = _optax.softmax_cross_entropy_with_integer_labels(out, y)
+        m = em.astype(out.dtype)
+        loss = (ll * m).sum() / jnp.maximum(m.sum(), 1.0)
+        mf = em.astype(jnp.float32)
+        correct = ((jnp.argmax(out, 1) == y).astype(jnp.float32) * mf).sum()
+        acc = correct / jnp.maximum(mf.sum(), 1.0)
+        return loss, acc
+
+    def evaluate(state: TrainState, eval_mask):
+        em = np.asarray(eval_mask)
+        if em.shape[0] < g.n_node_pad:
+            em = np.pad(em, (0, g.n_node_pad - em.shape[0]),
+                        constant_values=False)
+        return _ev(state, jnp.asarray(em[:g.n_node_pad]))
+
+    return step, evaluate
+
+
 def _make_singleton_step(model, tx, plan: HaloPlan, arrs: dict):
     """n_shards=1 specialization: the plain (unsharded) train/eval step on
     the plan's local layout. Same signatures as the shard_map version."""
@@ -387,18 +423,24 @@ def make_halo_node_step(model, tx: optax.GradientTransformation, mesh: Mesh,
     """
     D = mesh.shape[axis]
     assert D == plan.n_shards, (D, plan.n_shards)
-    arrs = _stack_arrays(plan, g, np.asarray(mask))
-    specs = {k: P(axis) for k in arrs}
 
     if D == 1 and plan.boundary_rows == 0 and not force_full:
         # A 1-shard partition IS the whole graph: skip shard_map, the
         # (singleton) all_to_all, the extended-table indirection, and the
         # collective loss — the step is exactly the unsharded flagship step
-        # on the plan's padded layout (VERDICT round-3 item 4: the halo
-        # machinery must not tax the degenerate partition). The full
+        # (VERDICT round-3 item 4: the halo machinery must not tax the
+        # degenerate partition). When the plan's node layout matches the
+        # input batch, use `g` AS-IS — its (possibly device-resident)
+        # arrays are never round-tripped through the host. The full
         # machinery stays reachable with force_full=True so the partition
         # tax remains measurable (experiments/ledger.py halo phases).
-        return _make_singleton_step(model, tx, plan, arrs)
+        if plan.block == g.n_node_pad:
+            return _make_singleton_step_direct(model, tx, g, mask, plan)
+        return _make_singleton_step(
+            model, tx, plan, _stack_arrays(plan, g, np.asarray(mask)))
+
+    arrs = _stack_arrays(plan, g, np.asarray(mask))
+    specs = {k: P(axis) for k in arrs}
 
     def body(state: TrainState, loc: dict, key):
         loc = {k: v[0] for k, v in loc.items()}  # drop the device axis
