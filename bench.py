@@ -655,9 +655,9 @@ def main():
     cost = _run_group(["pallas-fused-bf16", "xla"], headline, est_cost=0.0)
     emitted = headline.emit()
 
-    extras = [["gcn-kan-bf16"], ["gat-fastkan-bf16"], ["gin-fastkan-bf16"],
-              ["halo-1dev"], ["kagin-bf16-reorder"], ["gcn-fastkan-bf16"],
-              ["graphcls-minibatch"], ["graphcls-assembly"],
+    extras = [["gcn-kan-bf16"], ["gat-fastkan-bf16"], ["graphcls-assembly"],
+              ["gin-fastkan-bf16"], ["halo-1dev"], ["gcn-fastkan-bf16"],
+              ["kagin-bf16-reorder"], ["graphcls-minibatch"],
               ["graphcls-python-loader"], ["graphcls-noprefetch"]]
     if os.environ.get("KAGNN_BENCH_F32_FUSED"):
         extras.insert(0, ["pallas-fused"])

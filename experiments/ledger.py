@@ -413,15 +413,20 @@ def _measure_halo(which: str) -> dict:
         s_, loss = step(s_, key)
     float(loss)
     float(jax.tree_util.tree_leaves(s_.params)[0].sum())
-    t0 = time.perf_counter()
+    # best-of-3 windows (bench.py discipline): the relay sometimes settles
+    # a new executable at a ~2.5x degraded rate for its first executions
+    windows = []
     iters = 10
-    for _ in range(iters):
-        key = jax.random.fold_in(key, 1)
-        s_, loss = step(s_, key)
-    float(loss)
-    float(jax.tree_util.tree_leaves(s_.params)[0].sum())
-    sec = (time.perf_counter() - t0) / iters
-    return {"ms": sec * 1e3}
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            key = jax.random.fold_in(key, 1)
+            s_, loss = step(s_, key)
+        float(loss)
+        float(jax.tree_util.tree_leaves(s_.params)[0].sum())
+        windows.append((time.perf_counter() - t0) / iters)
+    return {"ms": min(windows) * 1e3,
+            "windows_ms": [round(w * 1e3, 2) for w in windows]}
 
 
 UNTRUSTED_REASONS = {
@@ -451,6 +456,8 @@ def main():
                    help="comma list of phase sets: core,gat,halo,untrusted "
                         "or 'all'")
     p.add_argument("--no-write", action="store_true")
+    p.add_argument("--fresh", action="store_true",
+                   help="ignore rows from the existing LEDGER.json")
     args = p.parse_args()
 
     if args.phase:
@@ -459,7 +466,21 @@ def main():
 
     sets = (list(SETS) if args.set == "all" else args.set.split(","))
     phases = [ph for sname in sets for ph in SETS[sname]]
+    # MERGE with the committed artifact: rows measured in previous (partial)
+    # runs are kept unless re-measured now, and the file is re-written after
+    # EVERY phase — a timeout mid-run loses only the phase in flight
+    # (bench.py's round-3 lesson applied here).
     rows = {}
+    led_path = os.path.join(ROOT, "LEDGER.json")
+    if not args.fresh and os.path.exists(led_path):
+        try:
+            prev = json.load(open(led_path))
+            rows.update(prev.get("phases", {}))
+            rows.update({k: {kk: vv for kk, vv in v.items()
+                             if kk != "reason"}
+                         for k, v in prev.get("untrusted", {}).items()})
+        except Exception:
+            pass
     for phase in phases:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
@@ -472,7 +493,12 @@ def main():
             rows[phase] = {"phase": phase, "error": r.stderr[-500:]}
         print(f"# {phase}: {rows[phase].get('ms', rows[phase])}",
               file=sys.stderr)
+        _assemble_and_write(rows, args)
 
+    _assemble_and_write(rows, args)
+
+
+def _assemble_and_write(rows, args):
     cal_path = os.path.join(ROOT, "CALIBRATION.json")
     ceiling, cal = None, {}
     if os.path.exists(cal_path):
@@ -564,15 +590,30 @@ def main():
         #   sum(gather rows)/row_rate + (remaining bytes)/ceiling,
         # which bounds what ANY schedule of the same ops can reach.
         gr = cal.get("gather_rows_per_s_M") if isinstance(cal, dict) else None
+        gri = None
+        if isinstance(cal, dict):
+            gri = cal.get("gather", {}).get("w64_serial_inprogram",
+                                            {}).get("rows_per_s_M")
         if gr:
             n_gathers = 6  # 3 convs x (fwd msgs + bwd cotangent transpose)
             gather_rows = n_gathers * (N_EDGES // 1024 * 1024 + 1024)
             gather_bytes = gather_rows * HID * BF
-            row_ms = gather_rows / (gr * 1e6) * 1e3
             stream_ms = (min_bytes - gather_bytes) / (ceiling * 1e9) * 1e3
-            out["rowrate_sol_ms"] = round(row_ms + stream_ms, 2)
-            out["pct_of_rowrate_sol"] = round(
-                100 * (row_ms + stream_ms) / step_ms, 1)
+            # pessimistic floor: standalone-gather row rate (129M rows/s).
+            # Round 4's 56 ms step BEATS this floor — in-program gathers
+            # pipeline against compute, so the standalone rate is NOT a
+            # valid lower bound; kept for the historical trail only.
+            row_ms = gather_rows / (gr * 1e6) * 1e3
+            out["rowrate_sol_ms_standalone"] = round(row_ms + stream_ms, 2)
+            if gri:
+                # realistic floor: the measured IN-PROGRAM serial gather
+                # rate (w64_serial_inprogram, CALIBRATION.json) — what
+                # back-to-back gathers inside one executable actually
+                # sustain. This is the floor pct_of_rowrate_sol uses.
+                row_ms_i = gather_rows / (gri * 1e6) * 1e3
+                out["rowrate_sol_ms"] = round(row_ms_i + stream_ms, 2)
+                out["pct_of_rowrate_sol"] = round(
+                    100 * (row_ms_i + stream_ms) / step_ms, 1)
     # internal consistency: a committed artifact must be self-describing
     # (VERDICT round-3 item 8) — flag any trusted-row relation that fails
     flags = []

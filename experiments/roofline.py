@@ -17,6 +17,60 @@ from kagnn_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 
 
+def spmm_row(d: int = 128, iters: int = 10) -> dict:
+    """SpMM (sorted-segment-sum) kernel effective bandwidth at arxiv scale
+    vs the CALIBRATED practical ceiling (CALIBRATION.json) — the VERDICT
+    round-3 item-2 roofline row. Bytes = the kernel's actual HBM traffic:
+    message stream (E x d_eff, lane-padded) + output + receiver ids."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/kagnn_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    g, _ = bench._arxiv_batch()
+    e = g.n_edge_pad
+    n = g.n_node_pad
+    d_eff = -(-d // 128) * 128
+    msgs = jax.random.normal(jax.random.key(5), (e, d), jnp.float32)
+    fn = jax.jit(lambda m: sorted_segment_sum(m, g.receivers, n, False))
+    out = fn(msgs)
+    float(out.sum())
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = []
+        for i in range(iters):
+            res.append(fn(msgs * (1.0 + 1e-6 * (i + 1))))
+        float(res[-1].sum())
+        windows.append((time.perf_counter() - t0) / iters)
+    sec = min(windows)
+    traffic = 4 * (e * d_eff + n * d_eff) + 4 * e
+    eff = traffic / sec / 1e9
+    cal_path = os.path.join(os.path.dirname(__file__), "..",
+                            "CALIBRATION.json")
+    ceiling = None
+    if os.path.exists(cal_path):
+        ceiling = json.load(open(cal_path)).get("practical_ceiling_gbps")
+    row = {"kernel": "spmm_sorted_segment_sum", "d": d, "d_eff": d_eff,
+           "e": e, "ms": round(sec * 1e3, 3),
+           "traffic_bytes": traffic, "effective_gbps": round(eff, 1),
+           "windows_ms": [round(w * 1e3, 2) for w in windows],
+           "calibrated_ceiling_gbps": ceiling}
+    if ceiling:
+        row["pct_of_calibrated_ceiling"] = round(100 * eff / ceiling, 1)
+    return row
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=131072)
@@ -26,7 +80,13 @@ def main():
     p.add_argument("--spline_order", type=int, default=3)
     p.add_argument("--num_grids", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--spmm", action="store_true",
+                   help="only the SpMM roofline row (arxiv scale)")
     args = p.parse_args()
+
+    if args.spmm:
+        print(json.dumps(spmm_row()))
+        return
 
     from kagnn_tpu.utils.profiling import kernel_report
 

@@ -87,11 +87,22 @@ def _acc_rows(oh_bf, vals_f32, acc):
 
 
 def _head_reduce(prod, heads, c_head):
-    """(CHUNK, H*C) -> (CHUNK, H): per-head lane-group sums."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, prod.shape, 1) // c_head
-    return jnp.concatenate(
-        [jnp.sum(jnp.where(lane == h, prod, 0.0), axis=1, keepdims=True)
-         for h in range(heads)], axis=1)
+    """(CHUNK, H*C) -> (CHUNK, H): per-head lane-group sums.
+
+    MXU-matmulified (round-4): prod @ E_head with E_head the exact 0/1
+    head-indicator (hc, H) matrix, hi/lo-split for f32 fidelity — two
+    narrow MXU dots instead of 2H full VPU masked-sum passes (the old form
+    was the dominant per-chunk cost of both backward kernels)."""
+    hc = prod.shape[1]
+    ehead = (jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 0) // c_head
+             == jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 1)
+             ).astype(jnp.bfloat16)
+    hi, lo = _hilo(prod)
+    dn = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(hi, ehead, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(lo, ehead, dn,
+                                  preferred_element_type=jnp.float32))
 
 
 def _head_expand_k(w, c_head, heads):
@@ -113,8 +124,8 @@ def _dklky(x, slope):
 # receiver-oriented: da_dst (zero gathers)
 # --------------------------------------------------------------------------
 
-def _dadst_kernel(offsets_ref, recv_ref, msgs_hbm, dout_ref, adst_ref,
-                  alpha_ref, s_ref, amat_ref, out_ref, acc_ref, msg_scr,
+def _dadst_kernel(offsets_ref, recv_ref, msgs_hbm, dout_ref, nrw_ref,
+                  amat_ref, out_ref, acc_ref, msg_scr,
                   msems, *, heads: int, c_head: int, hc: int, hc_eff: int,
                   g_blocks: int, slope: float):
     H, C = heads, c_head
@@ -164,17 +175,18 @@ def _dadst_kernel(offsets_ref, recv_ref, msgs_hbm, dout_ref, adst_ref,
                 ids = row_ids + b * ROWS_PER_BLOCK
                 onehot = recv_ref[c, :][None, :] == ids
                 oh_bf = onehot.astype(jnp.bfloat16)
-                adst_e = _sel_rows(oh_bf, adst_ref[r0:r0 + ROWS_PER_BLOCK, :])
-                alpha_e = _sel_rows(oh_bf,
-                                    alpha_ref[r0:r0 + ROWS_PER_BLOCK, :])
-                s_e = _sel_rows(oh_bf, s_ref[r0:r0 + ROWS_PER_BLOCK, :])
+                # one consolidated narrow select: [adst | alpha | S]
+                nrw_e = _sel_rows(oh_bf, nrw_ref[r0:r0 + ROWS_PER_BLOCK, :])
+                adst_e = nrw_e[:, :H]
+                alpha_e = nrw_e[:, H:2 * H]
+                s_e = nrw_e[:, 2 * H:3 * H]
                 dout_e = _sel_rows_any(oh_bf,
                                        dout_ref[r0:r0 + ROWS_PER_BLOCK, :])
                 z = asrc_e + adst_e
                 lg = _klky(z, slope)
                 w = jnp.exp(jnp.minimum(lg - alpha_e, CLAMP))  # (CHUNK, H)
-                prod = dout_e * m.astype(jnp.float32)
-                dw = _head_reduce(prod[:, :hc], H, C)          # (CHUNK, H)
+                prod = dout_e[:, :hc] * m[:, :hc].astype(jnp.float32)
+                dw = _head_reduce(prod, H, C)                  # (CHUNK, H)
                 dz = w * (dw - s_e) * _dklky(z, slope)
                 acc_ref[sb] = _acc_rows(oh_bf, dz, acc_ref[sb])
 
@@ -204,9 +216,9 @@ def gat_bwd_dadst(msgs, recv_m, dout, adst, alpha, S, amat, heads, hc,
     n_groups = -(-n_blocks // G_BLOCKS)
     rows_out = n_groups * G_BLOCKS * ROWS_PER_BLOCK
     dout_p = _pad_to(_pad_to(dout, hc_eff, axis=1), rows_out)
-    adst_p = _pad_to(adst.astype(jnp.float32), rows_out)
-    alpha_p = _pad_to(alpha.astype(jnp.float32), rows_out)
-    s_p = _pad_to(S.astype(jnp.float32), rows_out)
+    nrw_p = _pad_to(jnp.concatenate(
+        [adst.astype(jnp.float32), alpha.astype(jnp.float32),
+         S.astype(jnp.float32)], axis=1), rows_out)
     amat_p = _pad_to(amat.astype(jnp.float32), hc_eff)
     block_starts = jnp.searchsorted(
         recv_m,
@@ -223,9 +235,8 @@ def gat_bwd_dadst(msgs, recv_m, dout, adst, alpha, S, amat, heads, hc,
             pl.BlockSpec(memory_space=pl.ANY),
             blockspec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
                       lambda g, *_: (g, 0)),
-            blockspec((G_BLOCKS * ROWS_PER_BLOCK, H), lambda g, *_: (g, 0)),
-            blockspec((G_BLOCKS * ROWS_PER_BLOCK, H), lambda g, *_: (g, 0)),
-            blockspec((G_BLOCKS * ROWS_PER_BLOCK, H), lambda g, *_: (g, 0)),
+            blockspec((G_BLOCKS * ROWS_PER_BLOCK, 3 * H),
+                      lambda g, *_: (g, 0)),
             blockspec((hc_eff, H), lambda g, *_: (0, 0)),
         ],
         out_specs=blockspec((G_BLOCKS * ROWS_PER_BLOCK, H),
@@ -248,8 +259,8 @@ def gat_bwd_dadst(msgs, recv_m, dout, adst, alpha, S, amat, heads, hc,
             + 4 * (ep + 2 * rows_out * hc_eff),
             transcendentals=ep * H),
         interpret=interpret,
-    )(offsets, recv_p.reshape(n_chunks, CHUNK), msgs_p, dout_p, adst_p,
-      alpha_p, s_p, amat_p)
+    )(offsets, recv_p.reshape(n_chunks, CHUNK), msgs_p, dout_p, nrw_p,
+      amat_p)
     return out[:n]
 
 
@@ -281,6 +292,13 @@ def _sender_kernel(offsets_ref, snd_ref, t_hbm, x_ref, amat_ref, dh_ref,
     @pl.when(c1 > c0)
     def _():
         t_dma(0, c0).start()
+
+    # per-source logits for the WHOLE group, hoisted out of the chunk loop
+    # (depends only on the x block — was recomputed per chunk x sub-block)
+    asrc_all = jax.lax.dot_general(
+        x_ref[...].astype(jnp.float32), amat_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (g_blocks*R, H)
 
     def body(c, _):
         slot = (c - c0) % 2
@@ -316,15 +334,12 @@ def _sender_kernel(offsets_ref, snd_ref, t_hbm, x_ref, amat_ref, dh_ref,
                 x_block = x_ref[r0:r0 + ROWS_PER_BLOCK, :]
                 # per-edge messages and source terms from the SOURCE block
                 msgs_e = _sel_rows_any(oh_bf, x_block)  # (CHUNK, hc_eff) f32
-                asrc_b = jax.lax.dot_general(
-                    x_block.astype(jnp.float32), amat_ref[...],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (R, H)
-                asrc_e = _sel_rows(oh_bf, asrc_b)        # (CHUNK, H)
+                asrc_e = _sel_rows(
+                    oh_bf, asrc_all[r0:r0 + ROWS_PER_BLOCK, :])  # (CHUNK, H)
                 z = asrc_e + adst_e
                 lg = _klky(z, slope)
                 w = jnp.exp(jnp.minimum(lg - alpha_e, CLAMP))
-                dw = _head_reduce(dout_e * msgs_e[:, :hc], H, C)
+                dw = _head_reduce(dout_e[:, :hc] * msgs_e[:, :hc], H, C)
                 dz = w * (dw - s_e) * _dklky(z, slope)
                 cot = _head_expand_k(w, C, H) * dout_e
                 if hc_eff > hc:
