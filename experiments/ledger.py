@@ -84,6 +84,8 @@ def flagship_min_bytes():
 
 
 def _timeit(fn, args, iters=10, warmup=2):
+    """Best-of-3 windows (bench.py discipline): the relay sometimes settles
+    a new executable at a degraded rate for its first executions."""
     import jax
     import jax.numpy as jnp
 
@@ -95,16 +97,21 @@ def _timeit(fn, args, iters=10, warmup=2):
     jax.block_until_ready(outs)
     leaf = jax.tree_util.tree_leaves(outs)[0]
     float(jnp.asarray(leaf).reshape(-1)[0])
-    t0 = time.perf_counter()
-    res = []
-    for i in range(iters):
-        res.append(fn(*[a * (1 + 1e-6 * (i + 7))
-                        if hasattr(a, "dtype") and a.dtype != jnp.int32
-                        else a for a in args]))
-    leaf = jax.tree_util.tree_leaves(res[-1])[0]
-    float(jnp.asarray(leaf).reshape(-1)[0])
-    jax.block_until_ready(res)
-    return (time.perf_counter() - t0) / iters
+    windows = []
+    j = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = []
+        for i in range(iters):
+            j += 1
+            res.append(fn(*[a * (1 + 1e-6 * (j + 7))
+                            if hasattr(a, "dtype") and a.dtype != jnp.int32
+                            else a for a in args]))
+        leaf = jax.tree_util.tree_leaves(res[-1])[0]
+        float(jnp.asarray(leaf).reshape(-1)[0])
+        jax.block_until_ready(res)
+        windows.append((time.perf_counter() - t0) / iters)
+    return min(windows)
 
 
 def _setup_model(conv: str = "gin", arch: str = "kan"):
@@ -183,17 +190,20 @@ def measure(phase: str) -> dict:
         s, loss = step_fn(s, g.replace(nodes=nodes * (1 + 1e-6)), mask, key)
         float(loss)
         float(jax.tree_util.tree_leaves(s.params)[0].sum())
-        t0 = time.perf_counter()
         iters = 10
-        lvals = []
-        for i in range(iters):
-            nodes = nodes * (1.0 + 1e-6)
-            s, loss = step_fn(s, g.replace(nodes=nodes), mask, key)
-            lvals.append(loss)
-        float(lvals[-1])
-        float(jax.tree_util.tree_leaves(s.params)[0].sum())
-        sec = (time.perf_counter() - t0) / iters
-        return {"phase": full_phase, "ms": sec * 1e3}
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            lvals = []
+            for i in range(iters):
+                nodes = nodes * (1.0 + 1e-6)
+                s, loss = step_fn(s, g.replace(nodes=nodes), mask, key)
+                lvals.append(loss)
+            float(lvals[-1])
+            float(jax.tree_util.tree_leaves(s.params)[0].sum())
+            windows.append((time.perf_counter() - t0) / iters)
+        return {"phase": full_phase, "ms": min(windows) * 1e3,
+                "windows_ms": [round(w * 1e3, 2) for w in windows]}
 
     if phase == "step-scan":
         # K train steps inside ONE executable (lax.scan): amortizes ALL

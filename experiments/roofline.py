@@ -17,7 +17,7 @@ from kagnn_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 
 
-def spmm_row(d: int = 128, iters: int = 10) -> dict:
+def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
     """SpMM (sorted-segment-sum) kernel effective bandwidth at arxiv scale
     vs the CALIBRATED practical ceiling (CALIBRATION.json) — the VERDICT
     round-3 item-2 roofline row. Bytes = the kernel's actual HBM traffic:
@@ -41,7 +41,11 @@ def spmm_row(d: int = 128, iters: int = 10) -> dict:
     e = g.n_edge_pad
     n = g.n_node_pad
     d_eff = -(-d // 128) * 128
-    msgs = jax.random.normal(jax.random.key(5), (e, d), jnp.float32)
+    dt = jnp.dtype(dtype)
+    # feed the kernel the way the framework does: messages arrive lane-
+    # PREPADDED from gather_rows_padded (the node table is padded before
+    # the gather), so no (E, d)->(E, d_eff) copy precedes the launch
+    msgs = jax.random.normal(jax.random.key(5), (e, d_eff), dt)
     fn = jax.jit(lambda m: sorted_segment_sum(m, g.receivers, n, False))
     out = fn(msgs)
     float(out.sum())
@@ -54,7 +58,35 @@ def spmm_row(d: int = 128, iters: int = 10) -> dict:
         float(res[-1].sum())
         windows.append((time.perf_counter() - t0) / iters)
     sec = min(windows)
-    traffic = 4 * (e * d_eff + n * d_eff) + 4 * e
+    # DEVICE time via profiler trace: the wall number carries a ~3 ms
+    # per-execution dispatch gap the tunnel cannot hide even pipelined,
+    # plus out-slice glue — the device custom-call duration is the
+    # kernel's true cost (and what an embedded launch costs in a step)
+    device_ms = None
+    try:
+        import collections
+        import glob
+        import gzip
+        import shutil
+
+        tdir = "/tmp/kagnn_spmm_trace"
+        shutil.rmtree(tdir, ignore_errors=True)
+        with jax.profiler.trace(tdir):
+            res = [fn(msgs * (1.0 + 1e-6 * (i + 90))) for i in range(10)]
+            float(res[-1].sum())
+        tf = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))
+        if tf:
+            tr = json.load(gzip.open(tf[-1]))
+            agg = collections.Counter()
+            for ev in tr.get("traceEvents", []):
+                if ev.get("ph") == "X" and ev.get(
+                        "name", "").startswith("_lambda_"):
+                    agg[ev["name"]] += ev.get("dur", 0)
+            if agg:
+                device_ms = max(agg.values()) / 1000 / 10
+    except Exception:
+        pass
+    traffic = dt.itemsize * (e * d_eff + n * d_eff) + 4 * e
     eff = traffic / sec / 1e9
     cal_path = os.path.join(os.path.dirname(__file__), "..",
                             "CALIBRATION.json")
@@ -62,12 +94,19 @@ def spmm_row(d: int = 128, iters: int = 10) -> dict:
     if os.path.exists(cal_path):
         ceiling = json.load(open(cal_path)).get("practical_ceiling_gbps")
     row = {"kernel": "spmm_sorted_segment_sum", "d": d, "d_eff": d_eff,
-           "e": e, "ms": round(sec * 1e3, 3),
+           "dtype": str(dt), "e": e, "ms": round(sec * 1e3, 3),
            "traffic_bytes": traffic, "effective_gbps": round(eff, 1),
            "windows_ms": [round(w * 1e3, 2) for w in windows],
            "calibrated_ceiling_gbps": ceiling}
     if ceiling:
         row["pct_of_calibrated_ceiling"] = round(100 * eff / ceiling, 1)
+    if device_ms:
+        eff_dev = traffic / (device_ms / 1e3) / 1e9
+        row["device_ms"] = round(device_ms, 3)
+        row["device_effective_gbps"] = round(eff_dev, 1)
+        if ceiling:
+            row["device_pct_of_calibrated_ceiling"] = round(
+                100 * eff_dev / ceiling, 1)
     return row
 
 
@@ -82,10 +121,11 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--spmm", action="store_true",
                    help="only the SpMM roofline row (arxiv scale)")
+    p.add_argument("--dtype", default="float32")
     args = p.parse_args()
 
     if args.spmm:
-        print(json.dumps(spmm_row()))
+        print(json.dumps(spmm_row(d=args.d, dtype=args.dtype)))
         return
 
     from kagnn_tpu.utils.profiling import kernel_report

@@ -302,12 +302,14 @@ _sorted_bwd_gather.defvjp(_sbg_fwd, _sbg_bwd)
 def _neighbor_sum_sorted(x, senders, receivers, edge_weight, senders_perm,
                          senders_sorted, recv_by_sender, w_by_sender,
                          num_segments, interpret):
-    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+    from kagnn_tpu.pallas.spmm import gather_rows_padded, sorted_segment_sum
 
-    msgs = jnp.take(x, senders, axis=0)
+    d = x.shape[1]
+    msgs = gather_rows_padded(x, senders)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]
-    return sorted_segment_sum(msgs, receivers, num_segments, interpret)
+    return sorted_segment_sum(msgs, receivers, num_segments,
+                              interpret)[:, :d]
 
 
 def _ns_fwd(x, senders, receivers, edge_weight, senders_perm, senders_sorted,
@@ -324,6 +326,8 @@ def _ns_bwd(num_segments, interpret, res, cot):
 
     (receivers, edge_weight, perm, senders_sorted, recv_by_sender,
      w_by_sender, n_rows) = res
+    from kagnn_tpu.pallas.spmm import gather_rows_padded
+
     # dx = A^T @ cot: gather the cotangent rows at the receivers of the
     # SENDER-sorted edge copy, then one more sorted-segment-sum — no scatter,
     # no separate edge-cotangent permute. The permuted receiver view is a
@@ -332,12 +336,14 @@ def _ns_bwd(num_segments, interpret, res, cot):
     # wide gather — CALIBRATION.json "gather").
     if recv_by_sender is None:
         recv_by_sender = jnp.take(receivers, perm)
-    cot_edges = jnp.take(cot, recv_by_sender, axis=0)
+    d = cot.shape[1]
+    cot_edges = gather_rows_padded(cot, recv_by_sender)
     if edge_weight is not None:
         w_p = (jnp.take(edge_weight, perm) if w_by_sender is None
                else w_by_sender.astype(edge_weight.dtype))
         cot_edges = cot_edges * w_p[:, None]
-    dx = sorted_segment_sum(cot_edges, senders_sorted, n_rows, interpret)
+    dx = sorted_segment_sum(cot_edges, senders_sorted, n_rows,
+                            interpret)[:, :d]
     return dx, None, None, None, None, None, None, None
 
 

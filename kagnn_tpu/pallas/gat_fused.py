@@ -62,7 +62,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kagnn_tpu.pallas.spmm import ROWS_PER_BLOCK, _pad_to, vma_shape
+from kagnn_tpu.pallas.spmm import (ROWS_PER_BLOCK, _pad_to,
+                                   gather_rows_padded, vma_shape)
 
 # receiver blocks per grid step (16 blows the 16MB VMEM budget at HC=256)
 GAT_G_BLOCKS = 8
@@ -367,7 +368,9 @@ def _gat_fwd_parts(h, asrc, adst, amat, senders, receivers, edge_mask,
                    heads, negative_slope, interpret):
     hc = h.shape[1]
     x_aug, amat_r = _resolve_amat(h, asrc, amat, heads)
-    msgs = jnp.take(x_aug, senders, axis=0)
+    # node-side lane pre-pad: padding the (N, hca) table costs E/N x less
+    # than lane-padding the (E, hca) gathered messages
+    msgs = gather_rows_padded(x_aug, senders)
     recv_m = jnp.where(edge_mask, receivers, IMAX)
     out, alpha = _fwd_impl(msgs, recv_m, x_aug, adst, amat_r, heads, hc,
                            negative_slope, interpret)
@@ -426,7 +429,7 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
            else recv_by_sender)
     mbs = (jnp.take(edge_mask, perm) if mask_by_sender is None
            else mask_by_sender)
-    t_table = jnp.take(T, rbs, axis=0)
+    t_table = gather_rows_padded(T, rbs)
     ssm = jnp.where(mbs, senders_sorted, IMAX)
     dh_msgs, dasrc_e = gat_bwd_sender(t_table, ssm, x_aug, amat_r, H, hc,
                                       negative_slope, interpret)

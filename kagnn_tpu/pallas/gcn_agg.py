@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kagnn_tpu.pallas.spmm import (G_BLOCKS, ROWS_PER_BLOCK, _acc_dots,
-                                   _pad_to, sorted_segment_sum, vma_shape)
+                                   _pad_to, gather_rows_padded,
+                                   sorted_segment_sum, vma_shape)
 
 Array = jax.Array
 
@@ -106,10 +107,12 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, hs_ref, dinv_ref, out_ref,
 def _fwd_impl(msgs, receivers, hs, dinv, interpret):
     e, d_orig = msgs.shape
     n, d_in = hs.shape
-    assert d_orig == d_in
-    d_eff = -(-d_orig // 128) * 128
-    msgs = _pad_to(msgs, d_eff, axis=1)
-    msgs_p = _pad_to(msgs, CHUNK_ROWS)
+    d_eff = -(-d_in // 128) * 128
+    assert d_orig in (d_in, d_eff), (d_orig, d_in)
+    pad_l = d_eff - d_orig
+    pad_r = (-e) % CHUNK_ROWS
+    msgs_p = (jnp.pad(msgs, ((0, pad_r), (0, pad_l)))
+              if pad_l or pad_r else msgs)
     recv_p = _pad_to(receivers.astype(jnp.int32), CHUNK_ROWS,
                      fill=jnp.iinfo(jnp.int32).max)
     ep = msgs_p.shape[0]
@@ -165,7 +168,7 @@ def _fwd_impl(msgs, receivers, hs, dinv, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _gcn_agg(hs, dinv, senders, receivers, senders_perm, senders_sorted,
              recv_by_sender, interpret):
-    msgs = jnp.take(hs, senders, axis=0)
+    msgs = gather_rows_padded(hs, senders)
     return _fwd_impl(msgs, receivers, hs, dinv, interpret)
 
 
@@ -183,8 +186,9 @@ def _ga_bwd(interpret, res, dout):
     dd = dout * dinv[:, None].astype(dout.dtype)
     if recv_by_sender is None:  # batcher didn't ship the host-side view
         recv_by_sender = jnp.take(receivers, perm)
-    cot_e = jnp.take(dd, recv_by_sender, axis=0)
-    dhs = sorted_segment_sum(cot_e, senders_sorted, n, interpret) + dd
+    cot_e = gather_rows_padded(dd, recv_by_sender)
+    dhs = sorted_segment_sum(cot_e, senders_sorted, n,
+                             interpret)[:, :dd.shape[1]] + dd
     return dhs, None, None, None, None, None, None
 
 

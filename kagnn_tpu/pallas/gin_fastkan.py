@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 from kagnn_tpu.pallas.fastkan_layer import _layer_vjp_bwd, _ln_stats
 from kagnn_tpu.pallas.rbf_fused import _centers, _wide_basis
 from kagnn_tpu.pallas.spmm import (G_BLOCKS, ROWS_PER_BLOCK, _acc_dots,
-                                   _pad_to, sorted_segment_sum, vma_shape)
+                                   _pad_to, gather_rows_padded,
+                                   sorted_segment_sum, vma_shape)
 
 Array = jax.Array
 
@@ -110,13 +111,15 @@ def _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb, grid_min,
               grid_max, num_grids, denominator, ln_eps, interpret):
     e, d_orig = msgs.shape
     n, d_in = x.shape
-    assert d_orig == d_in
+    d_eff = -(-d_in // 128) * 128
+    assert d_orig in (d_in, d_eff), (d_orig, d_in)
     GD, O = w_gdo.shape
     centers = _centers(grid_min, grid_max, num_grids)
     inv_h = float(1.0 / denominator)
-    d_eff = -(-d_orig // 128) * 128
-    msgs = _pad_to(msgs, d_eff, axis=1)
-    msgs_p = _pad_to(msgs, CHUNK_ROWS)
+    pad_l = d_eff - d_orig
+    pad_r = (-e) % CHUNK_ROWS
+    msgs_p = (jnp.pad(msgs, ((0, pad_r), (0, pad_l)))
+              if pad_l or pad_r else msgs)
     recv_p = _pad_to(receivers.astype(jnp.int32), CHUNK_ROWS,
                      fill=jnp.iinfo(jnp.int32).max)
     ep = msgs_p.shape[0]
@@ -193,7 +196,8 @@ def _gin_fastkan(x, senders, receivers, edge_mask, senders_perm,
                  eps, grid_min, grid_max, num_grids,
                  denominator, ln_eps, interpret):
     lng, lnb, w_gdo, wb_do, bb = params
-    msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(x, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, _ = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
@@ -204,7 +208,8 @@ def _gf_fwd(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
             recv_by_sender, mask_by_sender, params, eps, grid_min, grid_max,
             num_grids, denominator, ln_eps, interpret):
     lng, lnb, w_gdo, wb_do, bb = params
-    msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(x, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, z = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
@@ -233,9 +238,10 @@ def _gf_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
         recv_by_sender = jnp.take(receivers, perm)
     if mask_by_sender is None:
         mask_by_sender = jnp.take(edge_mask, perm)
-    cot_e = jnp.take(dz, recv_by_sender, axis=0)
+    cot_e = gather_rows_padded(dz, recv_by_sender)
     cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
-    dx_a = sorted_segment_sum(cot_e, senders_sorted, n, interpret)
+    dx_a = sorted_segment_sum(cot_e, senders_sorted, n,
+                              interpret)[:, :dz.shape[1]]
     dx = (1.0 + eps) * dz + dx_a
     return (dx, None, None, None, None, None, None, None,
             (dlng, dlnb, dw, dwb, dbb))
@@ -255,7 +261,8 @@ def _gin_fastkan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
     """Node-sharded fused GIN+FastKAN: `ext` is the extended [local; halo]
     sender table from a differentiable halo exchange."""
     lng, lnb, w_gdo, wb_do, bb = params
-    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(ext, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, _ = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
@@ -267,7 +274,8 @@ def _gfe_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
              grid_min, grid_max, num_grids,
              denominator, ln_eps, interpret, axis):
     lng, lnb, w_gdo, wb_do, bb = params
-    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(ext, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, z = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
@@ -290,9 +298,10 @@ def _gfe_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
         recv_by_sender = jnp.take(receivers, perm)
     if mask_by_sender is None:
         mask_by_sender = jnp.take(edge_mask, perm)
-    cot_e = jnp.take(dz, recv_by_sender, axis=0)
+    cot_e = gather_rows_padded(dz, recv_by_sender)
     cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
-    dext = sorted_segment_sum(cot_e, senders_sorted, n_ext, interpret)
+    dext = sorted_segment_sum(cot_e, senders_sorted, n_ext,
+                              interpret)[:, :dz.shape[1]]
     dx = (1.0 + eps) * dz
     # weight grads stay per-shard partials (see gin_fused._gke_bwd)
     return (dx, dext, None, None, None, None, None, None, None,

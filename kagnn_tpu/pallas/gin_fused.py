@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kagnn_tpu.pallas.bspline_fused import _basis_ladder, _bwd_kernel
 from kagnn_tpu.pallas.spmm import (G_BLOCKS, ROWS_PER_BLOCK, _acc_dots,
-                                   _pad_to, sorted_segment_sum, vma_shape)
+                                   _pad_to, gather_rows_padded,
+                                   sorted_segment_sum, vma_shape)
 
 Array = jax.Array
 
@@ -119,12 +120,16 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, grid_ref, wb_ref, ws_ref,
 def _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k, interpret):
     e, d_orig = msgs.shape
     n, d_in = x.shape
-    assert d_orig == d_in
+    # msgs may arrive pre-lane-padded (gather_rows_padded pads the NODE
+    # table before the gather — E/N x cheaper than padding messages)
+    d_eff = -(-d_in // 128) * 128
+    assert d_orig in (d_in, d_eff), (d_orig, d_in)
     n_basis, _, O = ws_gdo.shape
     K = grid_kd.shape[0]
-    d_eff = -(-d_orig // 128) * 128
-    msgs = _pad_to(msgs, d_eff, axis=1)
-    msgs_p = _pad_to(msgs, CHUNK_ROWS)
+    pad_l = d_eff - d_orig
+    pad_r = (-e) % CHUNK_ROWS
+    msgs_p = (jnp.pad(msgs, ((0, pad_r), (0, pad_l)))
+              if pad_l or pad_r else msgs)
     recv_p = _pad_to(receivers.astype(jnp.int32), CHUNK_ROWS,
                      fill=jnp.iinfo(jnp.int32).max)
     ep = msgs_p.shape[0]
@@ -194,7 +199,8 @@ def _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k, interpret):
 def _gin_kan(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
              recv_by_sender, mask_by_sender, params, eps, k, interpret):
     grid_kd, wb_do, ws_gdo = params
-    msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(x, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, _ = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out
@@ -203,7 +209,8 @@ def _gin_kan(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
 def _gk_fwd(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
             recv_by_sender, mask_by_sender, params, eps, k, interpret):
     grid_kd, wb_do, ws_gdo = params
-    msgs = jnp.take(x, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(x, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, z = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
@@ -265,9 +272,10 @@ def _gk_bwd(eps, k, interpret, res, dout):
         recv_by_sender = jnp.take(receivers, perm)
     if mask_by_sender is None:
         mask_by_sender = jnp.take(edge_mask, perm)
-    cot_e = jnp.take(dz, recv_by_sender, axis=0)
+    cot_e = gather_rows_padded(dz, recv_by_sender)
     cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
-    dx_a = sorted_segment_sum(cot_e, senders_sorted, n, interpret)
+    dx_a = sorted_segment_sum(cot_e, senders_sorted, n,
+                              interpret)[:, :dz.shape[1]]
     dx = (1.0 + eps) * dz + dx_a
     return (dx, None, None, None, None, None, None, None,
             (jnp.zeros_like(grid_kd), dwb, dws))
@@ -287,7 +295,8 @@ def _gin_kan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
     by a differentiable halo exchange — its VJP routes the halo rows'
     gradients back to their owner shards)."""
     grid_kd, wb_do, ws_gdo = params
-    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(ext, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, _ = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out
@@ -297,7 +306,8 @@ def _gke_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
              senders_sorted, recv_by_sender, mask_by_sender, params,
              eps, k, interpret, axis):
     grid_kd, wb_do, ws_gdo = params
-    msgs = jnp.take(ext, senders, axis=0) * edge_mask.astype(x.dtype)[:, None]
+    msgs = (gather_rows_padded(ext, senders)
+            * edge_mask.astype(x.dtype)[:, None])
     out, z = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
@@ -314,9 +324,10 @@ def _gke_bwd(eps, k, interpret, axis, res, dout):
         recv_by_sender = jnp.take(receivers, perm)
     if mask_by_sender is None:
         mask_by_sender = jnp.take(edge_mask, perm)
-    cot_e = jnp.take(dz, recv_by_sender, axis=0)
+    cot_e = gather_rows_padded(dz, recv_by_sender)
     cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
-    dext = sorted_segment_sum(cot_e, senders_sorted, n_ext, interpret)
+    dext = sorted_segment_sum(cot_e, senders_sorted, n_ext,
+                              interpret)[:, :dz.shape[1]]
     dx = (1.0 + eps) * dz
     # weight grads stay per-shard partials — the halo step body all-reduces
     # the whole grad tree once (legacy shard_map semantics, check_vma=False)

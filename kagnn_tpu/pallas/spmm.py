@@ -20,10 +20,15 @@ Measured position (1 chip via tunnel, arxiv scale E=1.17M):
     NOT the 819 GB/s paper number, and not the earlier 350-400 GB/s
     estimate (superseded: those one-pass numbers were inflated by
     per-execution overhead corrections the in-loop probe eliminated);
-  * the kernel's measured ~215 GB/s effective (D=128 f32) is ~83% of the
-    calibrated ceiling (215/260.2 = 82.7%; re-check with
-    experiments/roofline.py after kernel changes). The residual is the
-    per-chunk indicator build (VPU compare+select) + one-hot MXU passes;
+  * the kernel's DEVICE time (profiler-measured custom-call duration,
+    ROOFLINE_SPMM.json) is 1.86 ms for 688 MB at D=128 f32 = 370 GB/s —
+    ABOVE the roll-loop ceiling, i.e. stream-saturated (the calibration
+    under-estimates the chip) — and 1.50 ms for 347 MB at bf16 =
+    231 GB/s = 88.8% of the calibrated ceiling (residual: fixed per-chunk
+    indicator build + one-hot MXU passes, which stop being covered by DMA
+    once the byte volume halves). Wall-clock standalone launches read
+    ~4 ms higher (tunnel per-execution dispatch gap + out-slice glue);
+    embedded launches in a step pay device time only;
   * tiling/DMA-depth sweeps (chunk 512-2048, groups 4-16, 2-8 DMA slots,
     lane packing) all land within +-5%, confirming compute-overhead, not
     DMA latency, as the residual.
@@ -150,6 +155,20 @@ def vma_shape(shape, dtype, like: Array):
     return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
+def gather_rows_padded(table: Array, idx: Array) -> Array:
+    """`jnp.take(table, idx, axis=0)` with the table lane-padded to a
+    128 multiple FIRST: padding the (N, d) node table costs E/N x less
+    than lane-padding the (E, d) gathered messages (measured: the (E,64)
+    -> (E,128) pad was a 0.9 ms full-array copy per kernel launch at arxiv
+    scale while the node-side pad is ~0.1 ms), and the gather engine is
+    row-rate-bound so the extra lanes ride free."""
+    d = table.shape[1]
+    d_eff = -(-d // 128) * 128
+    if d != d_eff:
+        table = jnp.pad(table, ((0, 0), (0, d_eff - d)))
+    return jnp.take(table, idx, axis=0)
+
+
 def _pad_to(x: Array, m: int, axis: int = 0, fill=0):
     pad = (-x.shape[axis]) % m
     if pad == 0:
@@ -183,9 +202,15 @@ def _fwd_impl(msgs, receivers, num_segments, interpret, *,
         d_eff = 64
     else:
         pack, d_eff = 1, -(-d_orig // 128) * 128
-    msgs = _pad_to(msgs, d_eff, axis=1)
     epc = CHUNK_ROWS * pack
-    msgs_p = _pad_to(msgs, epc)
+    # ONE pad for lanes+rows (each jnp.pad is a full-array copy; the lane
+    # pad is a no-op when the caller gathered from a pre-padded table —
+    # gather_rows_padded — and the row pad is a no-op at the batchers'
+    # edge_pad_multiple)
+    pad_l = d_eff - msgs.shape[1]
+    pad_r = (-msgs.shape[0]) % epc
+    msgs_p = (jnp.pad(msgs, ((0, pad_r), (0, pad_l)))
+              if pad_l or pad_r else msgs)
     # padded edges get an out-of-range receiver so they match no row
     recv_p = _pad_to(receivers.astype(jnp.int32), epc,
                      fill=jnp.iinfo(jnp.int32).max)

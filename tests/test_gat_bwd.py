@@ -47,7 +47,9 @@ def test_gat_bwd_kernels_match_xla_composition(rng):
     lg = jnp.where(g.edge_mask[:, None], _leaky(z, SLOPE), -1e30)
     w = jnp.exp(lg - jnp.take(alpha, g.receivers, axis=0))
     douted = jnp.take(dout, g.receivers, axis=0)
-    dw = jnp.sum((douted * msgs).reshape(-1, heads, c), axis=2)
+    # the saved msgs residual is lane-prepadded (gather_rows_padded)
+    dw = jnp.sum((douted * msgs[:, :heads * c]).reshape(-1, heads, c),
+                 axis=2)
     dl = w * (dw - jnp.take(S, g.receivers, axis=0))
     dz = dl * _dleaky(z, SLOPE)
     dadst_ref = jax.ops.segment_sum(dz, g.receivers, num_segments=n)
