@@ -663,11 +663,16 @@ def main():
         extras.insert(0, ["pallas-fused"])
     if os.environ.get("KAGNN_BENCH_FAST"):
         extras = []
-    # a node-path subprocess now costs ~(setup + compile + steps); use the
-    # required group's measured cost (2 rows) as the unit estimate
-    est = max(45.0, cost * 0.7)
+    # a node-path subprocess now costs ~(setup + compile + steps); start
+    # from the required group's cost (2 rows) and re-base on the most
+    # recent completed extra. graphcls-assembly is CPU-only/deterministic
+    # (~40 s) — don't let a big node-row estimate squeeze it out.
+    est = max(45.0, cost * 0.6)
     for grp in extras:
-        _run_group(grp, headline, est_cost=est)
+        grp_est = 45.0 if grp[0] == "graphcls-assembly" else est
+        took = _run_group(grp, headline, est_cost=grp_est)
+        if took > 5.0 and grp[0] != "graphcls-assembly":
+            est = max(45.0, took * 1.1)
         emitted = headline.emit() or emitted
 
     if not headline.emit(final=True) and not emitted:
