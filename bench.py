@@ -672,7 +672,10 @@ def main():
         grp_est = 45.0 if grp[0] == "graphcls-assembly" else est
         took = _run_group(grp, headline, est_cost=grp_est)
         if took > 5.0 and grp[0] != "graphcls-assembly":
-            est = max(45.0, took * 1.1)
+            # cap: a one-off compile-heavy row (fresh executable after a
+            # code change, ~270s observed) must not inflate the estimate
+            # for warm-cache rows (~60-100s)
+            est = max(45.0, min(took * 1.1, 150.0))
         emitted = headline.emit() or emitted
 
     if not headline.emit(final=True) and not emitted:
