@@ -279,7 +279,7 @@ import functools as _functools
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _sorted_bwd_gather(x, indices, perm, sorted_indices, interpret):
-    return jnp.take(x, indices, axis=0)
+    return jnp.take(x, indices, axis=0, mode="clip")
 
 
 def _sbg_fwd(x, indices, perm, sorted_indices, interpret):
@@ -377,8 +377,8 @@ def _nsa_bwd(num_segments, heads, interpret, res, cot):
     e = senders.shape[0]
     # dw_e = <cot[recv_e], x[send_e]> per head: one sorted gather of the
     # cotangent (receivers ascending -> sequential-ish) + one random gather
-    cot_recv = jnp.take(cot, receivers, axis=0)
-    xs = jnp.take(x, senders, axis=0)
+    cot_recv = jnp.take(cot, receivers, axis=0, mode="clip")
+    xs = jnp.take(x, senders, axis=0, mode="clip")
     dw = jnp.sum(cot_recv.reshape(e, heads, -1) * xs.reshape(e, heads, -1),
                  axis=2).astype(w.dtype)
     # dx = A^T(w) @ cot over the SENDER-sorted edge copy: gather + one more
@@ -615,7 +615,9 @@ def gather(x: Array, indices: Array, sort_perm: Array | None = None,
             and sort_perm is not None and sorted_indices is not None:
         return _sorted_bwd_gather(x, indices, sort_perm, sorted_indices,
                                   spmm[1])
-    return jnp.take(x, indices, axis=0)
+    # mode="clip": indices are in-range by batcher invariant; the default
+    # "fill" mode fuses a full-size out-of-bounds select onto the gather
+    return jnp.take(x, indices, axis=0, mode="clip")
 
 
 def sender_gather(x: Array, g) -> Array:
@@ -623,6 +625,6 @@ def sender_gather(x: Array, g) -> Array:
     senders index the extended [local; halo] table, so the boundary rows are
     fetched with one all_to_all first."""
     if halo_state() is not None:
-        return jnp.take(halo_extend(x), g.senders, axis=0)
+        return jnp.take(halo_extend(x), g.senders, axis=0, mode="clip")
     return gather(x, g.senders, getattr(g, "senders_perm", None),
                   getattr(g, "senders_sorted", None))
