@@ -50,9 +50,15 @@ import time
 
 _START = time.time()
 BUDGET_S = float(os.environ.get("KAGNN_BENCH_BUDGET_S", "450"))
+# wall-clock reserved at the tail of the budget for the final emission +
+# child teardown: no row may START unless its estimate fits before
+# BUDGET_S - MARGIN_S (round-4 postmortem: elapsed 453.1 > 450 budget)
+MARGIN_S = 12.0
 # fallback baseline (sec/step, unfused XLA row) from the last driver-verified
 # bench (BENCH_r02.json) — used for vs_baseline only until/unless the xla row
-# is measured live in this run; detail.baseline_source says which was used.
+# is measured live in this run; detail.baseline_source says which was used,
+# and vs_baseline is forced to 0.0 so a cross-round ratio is never machine-
+# readable as a live one (round-4 advisor finding).
 FALLBACK_XLA_SEC = 0.23234
 
 
@@ -511,9 +517,11 @@ class _Headline:
         if "xla" in node_rows:
             baseline, baseline_source = node_rows["xla"]["sec_per_step"], \
                 "measured"
+            vs_baseline = round(baseline / best, 4)
         else:
             baseline, baseline_source = FALLBACK_XLA_SEC, \
                 "cached-BENCH_r02 (xla row not yet measured this run)"
+            vs_baseline = 0.0  # stale cross-round ratio must not be machine-readable as live
         detail = {
             "best_path": flagship,
             "sec_per_step_best": round(best, 5),
@@ -532,6 +540,10 @@ class _Headline:
                          "one subprocess each; per-iteration on-device "
                          "input perturbation (tunnel-relay cache defeat)",
         }
+        if "halo-1dev" in node_rows and flagship in node_rows:
+            detail["halo_tax_x"] = round(
+                node_rows["halo-1dev"]["sec_per_step"]
+                / node_rows[flagship]["sec_per_step"], 4)
         if "graphcls-minibatch" in rows:
             r = rows["graphcls-minibatch"]
             detail["graphcls_graphs_per_s"] = round(r["graphs_per_s"], 1)
@@ -555,25 +567,34 @@ class _Headline:
             "metric": "edges/s/chip (KAGIN train step, arxiv-scale)",
             "value": round(n_edges / best, 1),
             "unit": "edges/s",
-            "vs_baseline": round(baseline / best, 4),
+            "vs_baseline": vs_baseline,
             "detail": detail,
         }), flush=True)
         return True
 
 
-def _run_group(paths, headline: _Headline, est_cost: float) -> float:
+def _run_group(paths, headline: _Headline, est_cost: float,
+               group_timeout: float | None = None) -> float:
     """Launch one child subprocess measuring `paths`, stream its per-row
     JSON lines into `headline` (re-emitting after each), return measured
-    wall cost. Skips (recording why) if the budget can't fit it."""
-    if _remaining() < est_cost:
+    wall cost. Skips (recording why) if the budget can't fit it.
+
+    `group_timeout` is a PER-GROUP watchdog: a hung remote compile in one
+    row costs at most this much wall clock instead of the rest of the
+    global budget (round-4 postmortem: halo-1dev hung and ate the budget's
+    tail, skipping five later rows)."""
+    if _remaining() - MARGIN_S < est_cost:
         for p in paths:
             headline.skipped.append(p)
         return 0.0
     import selectors
 
     t0 = time.time()
+    deadline = _START + BUDGET_S - MARGIN_S
+    if group_timeout is not None:
+        deadline = min(deadline, t0 + group_timeout)
     env = dict(os.environ, KAGNN_BENCH_PATHS=",".join(paths),
-               KAGNN_BENCH_DEADLINE=str(_START + BUDGET_S))
+               KAGNN_BENCH_DEADLINE=str(deadline))
     # stderr goes to a FILE: a PIPE nobody drains while streaming stdout can
     # fill (jax/axon warnings are chatty) and deadlock the child
     errf = open(f"/tmp/kagnn_bench_{os.getpid()}_{paths[0]}.err", "w+")
@@ -588,7 +609,7 @@ def _run_group(paths, headline: _Headline, est_cost: float) -> float:
     sel.register(proc.stdout, selectors.EVENT_READ)
     buf = ""
     while True:
-        if _remaining() <= 0 and proc.poll() is None:
+        if time.time() > deadline and proc.poll() is None:
             proc.kill()
             killed = True
             break
@@ -615,9 +636,14 @@ def _run_group(paths, headline: _Headline, est_cost: float) -> float:
         proc.kill()
     errf.close()
     if killed:
+        why = ("killed at group watchdog (hung row)"
+               if group_timeout is not None
+               and time.time() - t0 <= group_timeout + 35
+               and _remaining() > MARGIN_S
+               else "killed at bench budget (hung row)")
         for p in paths:
             if p not in got:
-                headline.errors[p] = "killed at bench budget (hung row)"
+                headline.errors[p] = why
     elif proc.returncode not in (0, None):
         try:
             err = open(errf.name).read()[-300:]
@@ -655,27 +681,46 @@ def main():
     cost = _run_group(["pallas-fused-bf16", "xla"], headline, est_cost=0.0)
     emitted = headline.emit()
 
-    extras = [["gcn-kan-bf16"], ["gat-fastkan-bf16"], ["graphcls-assembly"],
-              ["gin-fastkan-bf16"], ["halo-1dev"], ["gcn-fastkan-bf16"],
-              ["kagin-bf16-reorder"], ["graphcls-minibatch"],
-              ["graphcls-python-loader"], ["graphcls-noprefetch"]]
+    # extras, in PRIORITY order (a squeezed budget drops from the tail):
+    #   1. halo-1dev — the scaling story's on-chip number; never driver-
+    #      captured before round 5, so it runs first among extras;
+    #   2. the gcn pair shares one subprocess (same graph + structure,
+    #      compile amortized);
+    #   3. one graph-classification device row + the deterministic CPU
+    #      assembly row (the vertical's first driver-captured number);
+    #   4. remaining node rows; the low-priority loader variants last
+    #      (their win is already regression-guarded by the assembly row).
+    extras = [["halo-1dev"],
+              ["gcn-kan-bf16", "gcn-fastkan-bf16"],
+              ["graphcls-minibatch"],
+              ["graphcls-assembly"],
+              ["gat-fastkan-bf16"],
+              ["gin-fastkan-bf16", "kagin-bf16-reorder"],
+              ["graphcls-python-loader", "graphcls-noprefetch"]]
     if os.environ.get("KAGNN_BENCH_F32_FUSED"):
         extras.insert(0, ["pallas-fused"])
     if os.environ.get("KAGNN_BENCH_FAST"):
         extras = []
-    # a node-path subprocess now costs ~(setup + compile + steps); start
-    # from the required group's cost (2 rows) and re-base on the most
-    # recent completed extra. graphcls-assembly is CPU-only/deterministic
-    # (~40 s) — don't let a big node-row estimate squeeze it out.
+    # a node-path subprocess costs ~(setup + compile + steps); start from
+    # the required group's cost (2 rows) and re-base on the most recent
+    # completed extra. graphcls-assembly is CPU-only/deterministic (~40 s)
+    # — don't let a big node-row estimate squeeze it out. A second row in
+    # the same subprocess shares setup/upload, so it adds ~0.4x, not 1x.
     est = max(45.0, cost * 0.6)
     for grp in extras:
-        grp_est = 45.0 if grp[0] == "graphcls-assembly" else est
-        took = _run_group(grp, headline, est_cost=grp_est)
+        if grp[0] == "graphcls-assembly":
+            grp_est = 45.0
+        else:
+            grp_est = est * (1.0 + 0.4 * (len(grp) - 1))
+        # hung-row cost cap: 2.5x the estimate (compile variance headroom)
+        took = _run_group(grp, headline, est_cost=grp_est,
+                          group_timeout=max(120.0, grp_est * 2.5))
         if took > 5.0 and grp[0] != "graphcls-assembly":
             # cap: a one-off compile-heavy row (fresh executable after a
             # code change, ~270s observed) must not inflate the estimate
             # for warm-cache rows (~60-100s)
-            est = max(45.0, min(took * 1.1, 150.0))
+            est = max(45.0, min(took * 1.1 / (1.0 + 0.4 * (len(grp) - 1)),
+                                150.0))
         emitted = headline.emit() or emitted
 
     if not headline.emit(final=True) and not emitted:
