@@ -35,6 +35,15 @@ class GraphBatch:
     """A padded batch of graphs (possibly a single graph).
 
     Shapes (static): N = n_node_pad, E = n_edge_pad, G = n_graph_pad.
+
+    INVARIANT (required by every consumer): `senders` and `receivers` are
+    in-range — 0 <= idx < n_node_pad, with padded edges pointing at the
+    masked last row (n_node_pad - 1). The hot gathers run with
+    `mode="clip"` (ops/segment.gather), so an out-of-range index silently
+    reads the clamped last row instead of failing. The framework batchers
+    (`single_graph` / `batch_graphs` / the native assembler) establish and
+    validate this; construct `GraphBatch` directly only with in-range
+    indices.
     """
 
     # topology
@@ -108,6 +117,17 @@ def single_graph(
         n_node = int(nodes.shape[0]) if nodes is not None else int(
             max(senders.max(initial=-1), receivers.max(initial=-1)) + 1)
     n_edge = int(senders.shape[0])
+    if n_edge:
+        # in-range precondition for the clip-mode gathers (GraphBatch
+        # docstring): catch bad indices here, where the failure is loud,
+        # not downstream where clip silently reads the last row
+        if (int(senders.min()) < 0 or int(senders.max()) >= n_node
+                or int(receivers.min()) < 0
+                or int(receivers.max()) >= n_node):
+            raise ValueError(
+                f"edge indices out of range [0, {n_node}): senders in "
+                f"[{senders.min()}, {senders.max()}], receivers in "
+                f"[{receivers.min()}, {receivers.max()}]")
     n_pad = _round_up(max(n_node, 1) + 1, node_pad_multiple)
     e_pad = _round_up(max(n_edge, 1), edge_pad_multiple)
 
@@ -205,8 +225,17 @@ def batch_graphs(
     offset = 0
     for gid, g in enumerate(graphs):
         nn_ = int(g["n_node"])
-        senders.append(np.asarray(g["senders"], np.int32) + offset)
-        receivers.append(np.asarray(g["receivers"], np.int32) + offset)
+        s = np.asarray(g["senders"], np.int32)
+        r = np.asarray(g["receivers"], np.int32)
+        if s.size and (int(s.min()) < 0 or int(s.max()) >= nn_
+                       or int(r.min()) < 0 or int(r.max()) >= nn_):
+            # in-range precondition for the clip-mode gathers (GraphBatch
+            # docstring); an index >= this graph's n_node would silently
+            # alias into the NEXT graph's rows after the offset shift
+            raise ValueError(
+                f"graph {gid}: edge indices out of range [0, {nn_})")
+        senders.append(s + offset)
+        receivers.append(r + offset)
         node_graph.append(np.full(nn_, gid, np.int32))
         if g.get("nodes") is not None:
             node_feats.append(np.asarray(g["nodes"]))

@@ -596,6 +596,12 @@ def gather(x: Array, indices: Array, sort_perm: Array | None = None,
            sorted_indices: Array | None = None) -> Array:
     """Row gather `x[indices]`.
 
+    PRECONDITION: indices in [0, x.shape[0]) — the gather runs with
+    mode="clip" (the default "fill" mode fuses a full-size out-of-bounds
+    select onto every gather), so an out-of-range index silently reads the
+    clamped last row. The framework batchers validate this at construction
+    (graphs/batch.py); see the GraphBatch docstring.
+
     The TRANSPOSE of a gather is a scatter-add, which XLA serializes on TPU
     (~20ms at arxiv scale — as slow as the forward aggregation it pairs
     with). When the caller supplies a precomputed sort-by-index permutation

@@ -90,9 +90,13 @@ def _head_reduce(prod, heads, c_head):
     """(CHUNK, H*C) -> (CHUNK, H): per-head lane-group sums.
 
     MXU-matmulified (round-4): prod @ E_head with E_head the exact 0/1
-    head-indicator (hc, H) matrix, hi/lo-split for f32 fidelity — two
-    narrow MXU dots instead of 2H full VPU masked-sum passes (the old form
-    was the dominant per-chunk cost of both backward kernels)."""
+    head-indicator (hc, H) matrix, hi/lo-split — two narrow MXU dots
+    instead of 2H full VPU masked-sum passes (the old form was the
+    dominant per-chunk cost of both backward kernels). NOTE: the 2-term
+    hi/lo split carries ~16 mantissa bits, so per-head sums have ~2^-16
+    relative error vs the old exact-f32 VPU path — well inside the
+    grad-parity tests' 5e-3 tolerances; use a 3-term split if those ever
+    tighten."""
     hc = prod.shape[1]
     ehead = (jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 0) // c_head
              == jax.lax.broadcasted_iota(jnp.int32, (hc, heads), 1)
