@@ -141,15 +141,22 @@ def _train_jax(d, g, seed):
 def test_e2e_accuracy_parity_vs_reference_torch():
     """Same data, same protocol, same hyperparameters: the reference's torch
     KAGCN (with its real ekan.py) and this framework's KAGCN must reach the
-    same test accuracy within seed noise."""
+    same test accuracy within seed noise. Tolerance discipline matches the
+    KAGAT/graphcls tests (round-4 verdict item 6): 5 paired seeds,
+    |mean delta| < 0.06, per-seed paired deltas bounded."""
     d = community_node_graph(n_nodes=300, n_classes=3, num_features=10,
                              avg_degree=8, seed=42)
     g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
                      y=d["y"])
-    accs_t = [_train_torch(d, s) for s in range(3)]
-    accs_j = [_train_jax(d, g, s) for s in range(3)]
+    accs_t = [_train_torch(d, s) for s in range(5)]
+    accs_j = [_train_jax(d, g, s) for s in range(5)]
     mt, mj = float(np.mean(accs_t)), float(np.mean(accs_j))
     # both must actually learn (well above the ~1/3 class prior)...
     assert mt > 0.6 and mj > 0.6, (accs_t, accs_j)
     # ...and agree within noise
-    assert abs(mt - mj) < 0.08, (accs_t, accs_j)
+    assert abs(mt - mj) < 0.06, (accs_t, accs_j)
+    # paired per-seed deltas (same data + protocol per seed on both sides):
+    # no seed may diverge grossly, the mean delta tighter still
+    deltas = [abs(a - b) for a, b in zip(accs_t, accs_j)]
+    assert max(deltas) < 0.15, (accs_t, accs_j)
+    assert float(np.mean(deltas)) < 0.08, (accs_t, accs_j)

@@ -328,9 +328,14 @@ def test_e2e_regression_parity_vs_reference_torch():
     rt = float(np.sum(maes_t) / np.sum(base))
     rj = float(np.sum(maes_j) / np.sum(base))
     assert rt < 0.85 and rj < 0.85, (maes_t, maes_j, base)
-    # the two frameworks' pooled ratios must also agree with each other
-    # (observed agreement <0.01; guards a jax-side quality regression
-    # independently of the absolute bar — ADVICE round-3 item 3)
+    # the two frameworks' pooled ratios must also agree with each other.
+    # Re-measured round 5: the gap is 0.01-0.05 across runs WITH JAX ON THE
+    # BETTER SIDE (rt 0.714 vs rj 0.663 observed), so the round-4 ask to
+    # tighten the symmetric 0.08 bound toward 0.01 is unsound — the spread
+    # is real seed noise. The guard's purpose is catching JAX-side quality
+    # regressions, so it is ONE-SIDED tight (jax may beat torch freely but
+    # must not lag it by more than 0.03) plus a loose symmetric sanity bound.
+    assert rj - rt < 0.03, (rt, rj, maes_t, maes_j)
     assert abs(rt - rj) < 0.08, (rt, rj, maes_t, maes_j)
     # ...and agree within seed noise (scaled by the baseline MAE)
     assert abs(mt - mj) < 0.25 * mb, (maes_t, maes_j, base)
@@ -441,7 +446,12 @@ def test_e2e_fastkan_node_parity_vs_reference_torch():
     accs_j = [train_jax(s) for s in range(N_SEEDS)]
     mt, mj = float(np.mean(accs_t)), float(np.mean(accs_j))
     assert mt > 0.6 and mj > 0.6, (accs_t, accs_j)
-    assert abs(mt - mj) < 0.08, (accs_t, accs_j)
+    assert abs(mt - mj) < 0.06, (accs_t, accs_j)
+    # paired per-seed deltas — uniform discipline across the e2e suite
+    # (round-4 verdict item 6); FastKAN node variant
+    deltas = [abs(a - b) for a, b in zip(accs_t, accs_j)]
+    assert max(deltas) < 0.15, (accs_t, accs_j)
+    assert float(np.mean(deltas)) < 0.08, (accs_t, accs_j)
 
 
 class TorchKAGAT(torch.nn.Module):
@@ -576,3 +586,7 @@ def test_e2e_kagat_node_parity_vs_reference_torch():
     mt, mj = float(np.mean(accs_t)), float(np.mean(accs_j))
     assert mt > 0.6 and mj > 0.6, (accs_t, accs_j)
     assert abs(mt - mj) < 0.06, (accs_t, accs_j)
+    # paired per-seed deltas — uniform discipline across the e2e suite
+    deltas = [abs(a - b) for a, b in zip(accs_t, accs_j)]
+    assert max(deltas) < 0.15, (accs_t, accs_j)
+    assert float(np.mean(deltas)) < 0.08, (accs_t, accs_j)

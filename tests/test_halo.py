@@ -238,3 +238,73 @@ def test_singleton_specialization_matches_full():
     lf, accf = eval_f(sf, em)
     np.testing.assert_allclose(float(ls), float(lf), rtol=1e-5)
     np.testing.assert_allclose(float(accs), float(accf), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_large_block_dominant_halo_matches_single_device():
+    """Arxiv-shaped (well, CPU-sized: 20k nodes / ~170k edges / 8 shards)
+    halo equivalence in the regime the overlap design targets — block >>
+    halo (round-4 verdict item 8: every prior equivalence test ran at toy
+    shapes where halo ~ block). The graph has 8 index-local clusters with
+    ~1.5% cross-cluster edges (what graphs/reorder.py produces at scale),
+    so each 2.5k-row block exchanges only a few hundred boundary rows.
+    Asserts loss parity and one-SGD-step parameter parity (i.e. gradient
+    parity) vs the unsharded step."""
+    rng = np.random.default_rng(42)
+    D, n_per = 8, 2560
+    n = D * n_per
+    snd, rcv = [], []
+    for c in range(D):
+        base = c * n_per
+        a = rng.integers(base, base + n_per, 10_000)
+        b = rng.integers(base, base + n_per, 10_000)
+        snd.append(a)
+        rcv.append(b)
+    # sparse cross-cluster boundary (adjacent blocks only, ~150 edges/pair)
+    xs = rng.integers(0, n, 1200)
+    xr = np.clip(xs + rng.integers(-n_per, n_per, 1200), 0, n - 1)
+    snd.append(xs.astype(np.int64))
+    rcv.append(xr.astype(np.int64))
+    snd = np.concatenate(snd).astype(np.int32)
+    rcv = np.concatenate(rcv).astype(np.int32)
+    nodes = rng.normal(size=(n, 6)).astype(np.float32)
+    y = rng.integers(0, 3, n).astype(np.int32)
+    g = single_graph(snd, rcv, nodes=nodes, y=y, edge_pad_multiple=128)
+
+    model = NodeClassifier(conv_type="gcn", architecture="fastkan",
+                           mp_layers=2, num_features=6, hidden_channels=8,
+                           num_classes=3, skip=False, grid_size=4,
+                           dropout=0.0)
+    tx = optax.sgd(1e-1)
+    state, _ = create_train_state(model, jax.random.key(0), g, tx)
+    mask = np.asarray(g.node_mask)
+
+    mesh = Mesh(np.asarray(jax.devices()[:D]).reshape(D), ("graph",))
+    plan = build_halo_plan(g, D)
+    # the target regime: per-pair halo is a small fraction of the block
+    # (~10% here: the partition blocks deliberately straddle the cluster
+    # boundaries, as a real partition would), and total exchanged rows per
+    # device stay below one block
+    assert plan.halo < plan.block // 8, (plan.halo, plan.block)
+    assert plan.halo * D < plan.block, (plan.halo, plan.block)
+    step, _ = make_halo_node_step(model, tx, mesh, plan, g, mask)
+    key = jax.random.key(3)
+    s_halo, loss_halo = step(state, key)
+
+    def loss_fn(params):
+        variables = {"params": params, **(
+            {"buffers": state.buffers} if state.buffers else {}), **(
+            {"batch_stats": state.batch_stats} if state.batch_stats else {})}
+        out, _ = model.apply(variables, g, train=True,
+                             rngs={"dropout": key}, mutable=["batch_stats"])
+        return L.masked_softmax_cross_entropy(out, g.y, g.node_mask)
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(state.params)
+    np.testing.assert_allclose(float(loss_halo), float(loss_ref), rtol=1e-5)
+    upd_ref = jax.tree.map(lambda p, dg: p - 1e-1 * dg, state.params,
+                           grads_ref)
+    flat_h, _ = jax.tree_util.tree_flatten(s_halo.params)
+    flat_r, _ = jax.tree_util.tree_flatten(upd_ref)
+    for a, b in zip(flat_h, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
