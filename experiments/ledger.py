@@ -202,8 +202,22 @@ def measure(phase: str) -> dict:
             float(lvals[-1])
             float(jax.tree_util.tree_leaves(s.params)[0].sum())
             windows.append((time.perf_counter() - t0) / iters)
-        return {"phase": full_phase, "ms": min(windows) * 1e3,
-                "windows_ms": [round(w * 1e3, 2) for w in windows]}
+        from kagnn_tpu.utils.profiling import device_ms_per_call
+
+        def run_traced():
+            nonlocal s, nodes
+            for _ in range(6):
+                nodes = nodes * (1.0 + 1e-6)
+                s, loss = step_fn(s, g.replace(nodes=nodes), mask, key)
+            float(loss)
+            float(jax.tree_util.tree_leaves(s.params)[0].sum())
+
+        dev_ms = device_ms_per_call(run_traced, 6, tag="step")
+        out = {"phase": full_phase, "ms": min(windows) * 1e3,
+               "windows_ms": [round(w * 1e3, 2) for w in windows]}
+        if dev_ms:
+            out["device_ms"] = round(dev_ms, 2)
+        return out
 
     if phase == "step-scan":
         # K train steps inside ONE executable (lax.scan): amortizes ALL
@@ -427,7 +441,7 @@ def _measure_halo(which: str) -> dict:
     # a new executable at a ~2.5x degraded rate for its first executions
     windows = []
     iters = 10
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(iters):
             key = jax.random.fold_in(key, 1)
@@ -435,8 +449,26 @@ def _measure_halo(which: str) -> dict:
         float(loss)
         float(jax.tree_util.tree_leaves(s_.params)[0].sum())
         windows.append((time.perf_counter() - t0) / iters)
-    return {"ms": min(windows) * 1e3,
-            "windows_ms": [round(w * 1e3, 2) for w in windows]}
+    # DEVICE time is the arbiter for spec-vs-full (round-4 verdict item 4:
+    # wall windows through the relay are noisy at the few-ms level — the
+    # committed r4 windows [150.1, 58.8, 70.5] made the SPECIALIZED path
+    # read slower than the full machinery it strictly removes work from)
+    from kagnn_tpu.utils.profiling import device_ms_per_call
+
+    def run_traced():
+        nonlocal s_, key
+        for _ in range(6):
+            key = jax.random.fold_in(key, 1)
+            s_, loss = step(s_, key)
+        float(loss)
+        float(jax.tree_util.tree_leaves(s_.params)[0].sum())
+
+    dev_ms = device_ms_per_call(run_traced, 6, tag=which)
+    out = {"ms": min(windows) * 1e3,
+           "windows_ms": [round(w * 1e3, 2) for w in windows]}
+    if dev_ms:
+        out["device_ms"] = round(dev_ms, 2)
+    return out
 
 
 UNTRUSTED_REASONS = {

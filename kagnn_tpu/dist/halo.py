@@ -506,6 +506,10 @@ def make_halo_node_step(model, tx: optax.GradientTransformation, mesh: Mesh,
         `sharding`. Unlike device_put this works when the mesh spans
         multiple processes (each process contributes its addressable
         shards); already-correctly-sharded arrays pass through."""
+        if isinstance(x, jax.core.Tracer):
+            # under tracing (make_jaxpr / nested jit) placement is a no-op
+            # concern; the tracer passes through
+            return x
         if isinstance(x, jax.Array):
             try:
                 if x.sharding.is_equivalent_to(sharding, x.ndim):

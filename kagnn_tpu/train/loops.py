@@ -78,8 +78,10 @@ class EarlyStopper:
         return should_save, False
 
 
-def _split_loss_fn(model, tx, loss_of_output: Callable):
-    """Build a jitted step: loss_of_output(output, batch) -> scalar."""
+def _split_loss_fn(model, tx, loss_of_output: Callable,
+                   donate: bool = False):
+    """Build a jitted step: loss_of_output(output, batch) -> scalar.
+    `donate=True` donates the TrainState (see make_node_steps)."""
 
     def step(state: TrainState, batch: GraphBatch, dropout_key) -> tuple[TrainState, Array]:
         def loss_fn(params):
@@ -104,14 +106,20 @@ def _split_loss_fn(model, tx, loss_of_output: Callable):
         )
         return new_state, loss
 
-    return jax.jit(step)
+    return jax.jit(step, **({"donate_argnums": (0,)} if donate else {}))
 
 
 # ---------------------------------------------------------------- node task
 
-def make_node_steps(model, tx):
+def make_node_steps(model, tx, donate: bool = False):
     """Full-batch node classification: masked CE on a per-call mask
-    (train/val/test masks live in batch-external arrays)."""
+    (train/val/test masks live in batch-external arrays).
+
+    `donate=True` donates the TrainState argument so XLA aliases the
+    params/opt-state buffers in place (saves the pass-through copies and
+    ~3x the param-tree footprint). Opt-in because a caller that touches
+    the OLD state after the step (parity tests, ledger probes) would read
+    deleted buffers."""
 
     def train_step(state, batch, mask, dropout_key):
         def loss_fn(params):
@@ -134,7 +142,8 @@ def make_node_steps(model, tx):
         """Returns logits (one forward; caller slices masks)."""
         return model.apply(state.variables(), batch, train=False)
 
-    return jax.jit(train_step), jax.jit(evaluate)
+    jit_kw = {"donate_argnums": (0,)} if donate else {}
+    return jax.jit(train_step, **jit_kw), jax.jit(evaluate)
 
 
 def make_node_multi_step(model, tx, n_steps: int):
@@ -169,11 +178,11 @@ def make_node_multi_step(model, tx, n_steps: int):
 
 # --------------------------------------------------------------- graph task
 
-def make_graph_cls_steps(model, tx):
+def make_graph_cls_steps(model, tx, donate: bool = False):
     def loss_of_output(out, batch):
         return losses.masked_nll(out, batch.y.astype(jnp.int32), batch.graph_mask)
 
-    train_step = _split_loss_fn(model, tx, loss_of_output)
+    train_step = _split_loss_fn(model, tx, loss_of_output, donate=donate)
 
     @jax.jit
     def evaluate(state, batch):
@@ -188,11 +197,11 @@ def make_graph_cls_steps(model, tx):
     return train_step, evaluate
 
 
-def make_graph_reg_steps(model, tx):
+def make_graph_reg_steps(model, tx, donate: bool = False):
     def loss_of_output(out, batch):
         return losses.masked_l1(out, batch.y, batch.graph_mask)
 
-    train_step = _split_loss_fn(model, tx, loss_of_output)
+    train_step = _split_loss_fn(model, tx, loss_of_output, donate=donate)
 
     @jax.jit
     def evaluate(state, batch):

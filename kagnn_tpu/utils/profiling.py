@@ -224,3 +224,55 @@ def kernel_report(n: int = 131072, d: int = 64, o: int = 64,
     rows.append(Roofline("fastkan_layer_xla", flops_layer, bytes_layer_xla,
                          sec, peaks).row())
     return rows
+
+
+def device_ms_per_call(run_traced: Callable[[], None], n_calls: int,
+                       tag: str = "devms") -> Optional[float]:
+    """Total DEVICE op time per call, via a jax.profiler trace.
+
+    `run_traced()` must execute the measured function `n_calls` times and
+    hard-fetch the result (the trace context wraps exactly that). Returns
+    the busiest device timeline's summed op duration / n_calls in ms, or
+    None if no trace was produced.
+
+    Wall clock through the axon tunnel carries a ~3-5 ms per-execution
+    dispatch gap plus per-process stream-rate variance (PERFORMANCE.md
+    "Measurement discipline"); device op time is immune to both, and is
+    the arbiter when two executables' wall times differ by less than the
+    window noise (e.g. the round-4 halo spec-vs-full inversion). Summing
+    one timeline (the busiest (pid, tid) trace line) avoids double-counting
+    module-level spans over op-level events.
+    """
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import shutil
+
+    tdir = f"/tmp/kagnn_devms_{tag}"
+    shutil.rmtree(tdir, ignore_errors=True)
+    jax.profiler.start_trace(tdir)
+    try:
+        run_traced()
+    finally:
+        jax.profiler.stop_trace()
+    tf = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))
+    if not tf:
+        return None
+    tr = _json.load(gzip.open(tf[-1]))
+    pid_names = {}
+    for ev in tr.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev.get("args", {}).get("name", "")
+    dev_pids = {pid for pid, name in pid_names.items()
+                if "TPU" in name or "/device" in name}
+    per_line = collections.Counter()
+    for ev in tr.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        if dev_pids and ev.get("pid") not in dev_pids:
+            continue
+        per_line[(ev.get("pid"), ev.get("tid"))] += ev.get("dur", 0)
+    if not per_line:
+        return None
+    return max(per_line.values()) / 1000.0 / n_calls

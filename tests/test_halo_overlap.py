@@ -23,45 +23,67 @@ REDUCE_PRIMS = {"scatter-add", "scatter_add", "segment_sum", "reduce_sum"}
 
 
 def _taint_analysis(jaxpr):
-    """Returns (tainted_varset, reduction_eqns) where taint flows forward
-    from every all_to_all output through all equations (recursing into
-    sub-jaxprs conservatively)."""
-    tainted = set()
-    reductions = []
+    """Per-collective taint: walks the jaxpr (recursing into sub-jaxprs),
+    assigning each all_to_all an index and flowing, per variable, the SET
+    of all_to_all indices it transitively depends on. Returns
+    (reductions, n_a2a, a2a_pos) where reductions is a list of
+    (walk_position, eqn, taint_set) for every segment-reduction eqn and
+    a2a_pos[i] is the walk position of collective i.
 
-    def run(jpr, env_tainted):
-        local_tainted = set(env_tainted)
+    Tracking per-collective sets (not one global bit) is what makes the
+    multi-layer question answerable: layer 2's internal aggregation
+    legitimately depends on layer 1's exchange through the layer-1 output,
+    but must NOT depend on layer 2's own exchange."""
+    reductions = []
+    a2a_pos = []
+    counter = [0]
+
+    def run(jpr, env):
+        # env: var -> frozenset of a2a indices
+        local = dict(env)
+
+        def taint_of(v):
+            if isinstance(v, jax.extend.core.Literal):
+                return frozenset()
+            return local.get(v, frozenset())
+
         for eqn in jpr.eqns:
-            in_tainted = any(
-                (not isinstance(v, jax.extend.core.Literal))
-                and v in local_tainted for v in eqn.invars)
+            pos = counter[0]
+            counter[0] += 1
+            in_taint = frozenset().union(*[taint_of(v) for v in eqn.invars]
+                                         ) if eqn.invars else frozenset()
             name = eqn.primitive.name
             if name == "all_to_all":
+                idx = len(a2a_pos)
+                a2a_pos.append(pos)
+                out_taint = in_taint | {idx}
                 for v in eqn.outvars:
-                    local_tainted.add(v)
+                    local[v] = out_taint
                 continue
             # recurse into call/closed jaxprs (param may be a Jaxpr, a
             # ClosedJaxpr, or a pytree-free object)
+            sub_out_taint = frozenset()
             for param in eqn.params.values():
                 inner = (param if hasattr(param, "eqns")
                          else getattr(param, "jaxpr", None))
                 if inner is not None and hasattr(inner, "eqns"):
                     sub_env = {
-                        iv for iv, ov in zip(inner.invars, eqn.invars)
-                        if (not isinstance(ov, jax.extend.core.Literal))
-                        and ov in local_tainted}
-                    sub_taint = run(inner, sub_env)
-                    if sub_taint & set(inner.outvars) or in_tainted:
-                        in_tainted = True
+                        iv: taint_of(ov)
+                        for iv, ov in zip(inner.invars, eqn.invars)}
+                    sub_res = run(inner, sub_env)
+                    sub_out_taint |= frozenset().union(
+                        *[sub_res.get(v, frozenset())
+                          for v in inner.outvars]) if inner.outvars \
+                        else frozenset()
+            out_taint = in_taint | sub_out_taint
             if "scatter" in name or name == "segment_sum":
-                reductions.append((eqn, in_tainted))
-            if in_tainted:
-                for v in eqn.outvars:
-                    local_tainted.add(v)
-        return local_tainted
+                reductions.append((pos, eqn, out_taint))
+            for v in eqn.outvars:
+                local[v] = out_taint
+        return local
 
-    run(jaxpr, set())
-    return reductions
+    run(jaxpr, {})
+    return reductions, len(a2a_pos), a2a_pos
 
 
 def test_internal_aggregation_independent_of_all_to_all():
@@ -90,13 +112,70 @@ def test_internal_aggregation_independent_of_all_to_all():
     fn = shard_map(body, mesh=mesh, in_specs=(specs,), out_specs=P("graph"),
                    check_vma=False)
     jaxpr = jax.make_jaxpr(fn)(arrs)
-    reductions = _taint_analysis(jaxpr.jaxpr)
+    reductions, n_a2a, _ = _taint_analysis(jaxpr.jaxpr)
     assert reductions, "expected segment reductions in the halo body"
-    untainted = [e for e, t in reductions if not t]
-    tainted = [e for e, t in reductions if t]
+    assert n_a2a >= 1, "expected a boundary all_to_all"
+    untainted = [e for _, e, t in reductions if not t]
+    tainted = [e for _, e, t in reductions if t]
     # the INTERNAL aggregation must not depend on the collective...
     assert untainted, (
         "no segment reduction is independent of all_to_all — the "
         "internal-edge aggregation cannot overlap the exchange")
     # ...while the halo-side aggregation necessarily does
     assert tainted, "expected a halo-side reduction consuming the exchange"
+
+
+def test_full_step_internal_aggregations_independent_at_8_shards():
+    """Round-4 verdict item 4 extension: the structural overlap guarantee
+    must hold for the REAL train step (not just a bare neighbor_sum body)
+    at n_shards=8 — every mp layer's internal-edge aggregation must be
+    data-independent of that layer's boundary all_to_all so XLA can
+    overlap exchange with local compute on real ICI."""
+    import optax
+
+    from kagnn_tpu.dist.halo import make_halo_node_step
+    from kagnn_tpu.models import NodeClassifier
+    from kagnn_tpu.train import create_train_state
+
+    d = community_node_graph(n_nodes=160, n_classes=3, num_features=6,
+                             seed=9)
+    g = single_graph(d["senders"], d["receivers"], nodes=d["nodes"],
+                     y=d["y"], edge_pad_multiple=128)
+    model = NodeClassifier(conv_type="gcn", architecture="fastkan",
+                           mp_layers=2, num_features=6, hidden_channels=8,
+                           num_classes=3, skip=False, grid_size=4,
+                           dropout=0.0)
+    tx = optax.sgd(1e-1)
+    state, _ = create_train_state(model, jax.random.key(0), g, tx)
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("graph",))
+    plan = build_halo_plan(g, 8)
+    assert plan.s_int is not None
+    step, _ = make_halo_node_step(model, tx, mesh, plan, g,
+                                  np.asarray(g.node_mask))
+    # reach the pre-jit body through the step's closure: trace the whole
+    # step instead (the shard_map body is inlined into its jaxpr)
+    key = jax.random.key(1)
+    jaxpr = jax.make_jaxpr(lambda s, k: step(s, k))(state, key)
+    reductions, n_a2a, a2a_pos = _taint_analysis(jaxpr.jaxpr)
+    assert reductions, "expected segment reductions in the halo step"
+    # one exchange per layer forward (+ transposes in the backward)
+    assert n_a2a >= 2, f"expected >=2 all_to_alls, got {n_a2a}"
+    # PER-COLLECTIVE overlap structure: for every all_to_all there must be
+    # at least one segment reduction that does NOT depend on it — the work
+    # XLA is free to schedule during that exchange (jaxpr eqn order is
+    # tracing order, not schedule, so position carries no information;
+    # independence is the enabling property). Layer 2's internal
+    # aggregation legitimately depends on layer 1's exchange through the
+    # layer-1 output; per-collective taint keeps that from reading as a
+    # violation, while a hypothetical regression that made EVERY reduction
+    # consume some collective's output still fails here.
+    for i in range(n_a2a):
+        indep = [e for _, e, t in reductions if i not in t]
+        assert indep, (
+            f"all_to_all #{i}: every segment reduction depends on it — "
+            f"nothing for the exchange to overlap with")
+    assert any(t for _, _, t in reductions), (
+        "expected halo-side reductions consuming the exchange")
