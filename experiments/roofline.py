@@ -42,10 +42,12 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
     n = g.n_node_pad
     d_eff = -(-d // 128) * 128
     dt = jnp.dtype(dtype)
-    # feed the kernel the way the framework does: messages arrive lane-
-    # PREPADDED from gather_rows_padded (the node table is padded before
-    # the gather), so no (E, d)->(E, d_eff) copy precedes the launch
-    msgs = jax.random.normal(jax.random.key(5), (e, d_eff), dt)
+    # feed the kernel the way the framework does (ops/segment._edge_gather):
+    # bf16 rows <=64 wide stay NARROW (the r5 pack-2 default halves DMA
+    # bytes); wider/f32 rows arrive lane-PREPADDED from gather_rows_padded
+    # so no (E, d)->(E, d_eff) copy precedes the launch
+    d_feed = d if (dt == jnp.bfloat16 and d <= 64) else d_eff
+    msgs = jax.random.normal(jax.random.key(5), (e, d_feed), dt)
     fn = jax.jit(lambda m: sorted_segment_sum(m, g.receivers, n, False))
     out = fn(msgs)
     float(out.sum())
@@ -86,7 +88,7 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
                 device_ms = max(agg.values()) / 1000 / 10
     except Exception:
         pass
-    traffic = dt.itemsize * (e * d_eff + n * d_eff) + 4 * e
+    traffic = dt.itemsize * (e * d_feed + n * d_eff) + 4 * e
     eff = traffic / sec / 1e9
     cal_path = os.path.join(os.path.dirname(__file__), "..",
                             "CALIBRATION.json")

@@ -298,14 +298,26 @@ def _sbg_bwd(interpret, res, cot):
 _sorted_bwd_gather.defvjp(_sbg_fwd, _sbg_bwd)
 
 
+def _edge_gather(table, idx):
+    """Edge-space row gather feeding sorted_segment_sum: bf16 tables
+    <=64 wide stay NARROW (the kernel's pack-2 layout halves DMA bytes —
+    r5 device-time sweep, pallas/spmm.py docstring); wider/f32 tables
+    lane-pre-pad so no (E, d) pad copy precedes the kernel launch."""
+    from kagnn_tpu.pallas.spmm import gather_rows_padded
+
+    if table.dtype == jnp.bfloat16 and table.shape[1] <= 64:
+        return jnp.take(table, idx, axis=0, mode="clip")
+    return gather_rows_padded(table, idx)
+
+
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _neighbor_sum_sorted(x, senders, receivers, edge_weight, senders_perm,
                          senders_sorted, recv_by_sender, w_by_sender,
                          num_segments, interpret):
-    from kagnn_tpu.pallas.spmm import gather_rows_padded, sorted_segment_sum
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
 
     d = x.shape[1]
-    msgs = gather_rows_padded(x, senders)
+    msgs = _edge_gather(x, senders)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]
     return sorted_segment_sum(msgs, receivers, num_segments,
@@ -326,7 +338,6 @@ def _ns_bwd(num_segments, interpret, res, cot):
 
     (receivers, edge_weight, perm, senders_sorted, recv_by_sender,
      w_by_sender, n_rows) = res
-    from kagnn_tpu.pallas.spmm import gather_rows_padded
 
     # dx = A^T @ cot: gather the cotangent rows at the receivers of the
     # SENDER-sorted edge copy, then one more sorted-segment-sum — no scatter,
@@ -337,7 +348,7 @@ def _ns_bwd(num_segments, interpret, res, cot):
     if recv_by_sender is None:
         recv_by_sender = jnp.take(receivers, perm)
     d = cot.shape[1]
-    cot_edges = gather_rows_padded(cot, recv_by_sender)
+    cot_edges = _edge_gather(cot, recv_by_sender)
     if edge_weight is not None:
         w_p = (jnp.take(edge_weight, perm) if w_by_sender is None
                else w_by_sender.astype(edge_weight.dtype))

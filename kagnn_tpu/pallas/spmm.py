@@ -9,29 +9,33 @@ v2 design: a GROUPED grid — each grid step owns G_BLOCKS receiver blocks and
 streams all their edge chunks through one double-buffered DMA pipeline, with
 per-(chunk, sub-block) overlap predication into a VMEM accumulator (receivers
 outside a sub-block match no indicator row, so boundary chunks self-mask).
-Optional lane PACKING (two <=64-wide edge rows per 128-lane register row) is
-supported but off by default — measured slower (the kernel is not
-bandwidth-bound at those widths).
+Lane PACKING (two <=64-wide edge rows per 128-lane register row, halving DMA
+bytes) is the DEFAULT for bf16 rows <=64 wide since round 5.
 
-Measured position (1 chip via tunnel, arxiv scale E=1.17M):
-  * this chip's PRACTICAL streaming ceiling is the round-3 CALIBRATED
-    260.2 GB/s (CALIBRATION.json practical_ceiling_gbps, measured by the
-    K-passes-in-one-executable probe experiments/calibrate_inloop.py) —
-    NOT the 819 GB/s paper number, and not the earlier 350-400 GB/s
-    estimate (superseded: those one-pass numbers were inflated by
-    per-execution overhead corrections the in-loop probe eliminated);
-  * the kernel's DEVICE time (profiler-measured custom-call duration,
-    ROOFLINE_SPMM.json) is 1.86 ms for 688 MB at D=128 f32 = 370 GB/s —
-    ABOVE the roll-loop ceiling, i.e. stream-saturated (the calibration
-    under-estimates the chip) — and 1.50 ms for 347 MB at bf16 =
-    231 GB/s = 88.8% of the calibrated ceiling (residual: fixed per-chunk
-    indicator build + one-hot MXU passes, which stop being covered by DMA
-    once the byte volume halves). Wall-clock standalone launches read
-    ~4 ms higher (tunnel per-execution dispatch gap + out-slice glue);
-    embedded launches in a step pay device time only;
-  * tiling/DMA-depth sweeps (chunk 512-2048, groups 4-16, 2-8 DMA slots,
-    lane packing) all land within +-5%, confirming compute-overhead, not
-    DMA latency, as the residual.
+Measured position (1 chip via tunnel, arxiv scale E=1.17M; r5 re-measured
+with profiler DEVICE time end to end — CALIBRATION.json, ROOFLINE_SPMM.json):
+  * the chip's demonstrated streaming ceiling through this kernel's own
+    pipeline shape (grouped double-buffered DMA, indicator/MXU work
+    removed) is 607.7 GB/s f32 / ~500-524 GB/s bf16
+    (experiments/calibrate_pallas_stream.py). The 260.2 GB/s roll-loop
+    number previous rounds used as the ceiling is superseded — this
+    kernel itself exceeded it by 42%, so every %-of-ceiling it produced
+    was inflated;
+  * this kernel, r5 defaults (chunk 512, 4 DMA slots): f32-128 688 MB in
+    1.58 ms = 435 GB/s = ~72% of the demonstrated ceiling (was 1.86 ms /
+    370 GB/s at the old 1024/2 tiling); bf16-64 with pack=2 197 MB in
+    1.22 ms (was 1.50 ms for the padded pack-1 layout);
+  * the ~28% residual vs the DMA-only probe is the per-chunk indicator
+    build + one-hot MXU passes (an overlapping chunk pays a full-chunk
+    dot per receiver block it straddles). The round-3 claim that tiling
+    choices land "within ±5%" was a WALL-clock artifact — the tunnel's
+    ~3-5 ms dispatch gap swamped the real 15-20% differences the r5
+    device-time sweep (experiments/spmm_sweep.py) exposed;
+  * the >=80%-of-SoL north star (BASELINE.md) is NOT met against the
+    honest ceiling at these widths: 72% f32-128; bf16-64 is
+    compute-bound (DMA floor 0.39 ms of its 1.22 ms). Stated plainly per
+    round-4 verdict item 1. Wall-clock standalone launches read ~4 ms
+    higher (tunnel dispatch gap); embedded launches pay device time only.
 Further headroom comes from FUSION (consuming the aggregate in-kernel so the
 (N, D) round-trip and the next layer's basis tensors never hit HBM — see
 pallas/gin_fused.py), not from more tiling.
@@ -54,25 +58,31 @@ Array = jax.Array
 
 ROWS_PER_BLOCK = 128   # output rows covered by one indicator matmul
 G_BLOCKS = 4           # receiver blocks per grid step (group)
-CHUNK_ROWS = 1024      # message rows per DMA chunk
+CHUNK_ROWS = 512       # message rows per DMA chunk (r5 device-time sweep)
+
+
+def _split_hilo(m):
+    """One-per-chunk bf16 hi/lo split of f32 messages (hoisted out of the
+    per-sub-block dots — an overlapping chunk used to redo the split for
+    every receiver block it straddles). bf16 messages pass through."""
+    if m.dtype == jnp.bfloat16:
+        return (m,)
+    hi = m.astype(jnp.bfloat16)
+    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _acc_dots(onehot, m, acc):
-    """acc += onehot @ m with bf16 MXU passes (hi/lo split for f32 msgs)."""
+    """acc += onehot @ m with bf16 MXU passes (the one-hot side is exact in
+    bf16; hi + residual lo recovers ~f32 fidelity with two default-speed
+    MXU passes). `m` is either a raw (CHUNK, lanes) array (other kernels'
+    call sites) or a pre-split tuple from `_split_hilo` (this kernel hoists
+    the split out of the per-sub-block loop)."""
     dn = (((1,), (0,)), ((), ()))
-    if m.dtype == jnp.bfloat16:
-        return acc + jax.lax.dot_general(
-            onehot, m, dn, preferred_element_type=jnp.float32)
-    # f32 messages, bf16 hi/lo split: the one-hot side is exact in bf16;
-    # splitting the messages into bf16 hi + residual lo recovers ~f32
-    # fidelity with two default-speed MXU passes.
-    hi = m.astype(jnp.bfloat16)
-    lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (acc
-            + jax.lax.dot_general(onehot, hi, dn,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(onehot, lo, dn,
-                                  preferred_element_type=jnp.float32))
+    for part in (m if isinstance(m, tuple) else _split_hilo(m)):
+        acc = acc + jax.lax.dot_general(
+            onehot, part, dn, preferred_element_type=jnp.float32)
+    return acc
 
 
 def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, acc_ref, scratch, sems,
@@ -112,7 +122,7 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, acc_ref, scratch, sems,
                     c + dma_slots - 1).start()
 
         get_dma(slot, c).wait()
-        m = scratch[slot]  # (CHUNK_ROWS, d_eff*pack... lanes)
+        m_parts = _split_hilo(scratch[slot])  # (CHUNK_ROWS, d_eff*pack)
         ch_lo = c * epc
         ch_hi = ch_lo + epc
         for sb in range(g_blocks):
@@ -127,7 +137,8 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, acc_ref, scratch, sems,
                 for p in range(pack):
                     recv = recv_ref[c, p, :][None, :]  # (1, CHUNK_ROWS)
                     onehot = (recv == ids).astype(jnp.bfloat16)
-                    acc_ref[sb, p] = _acc_dots(onehot, m, acc_ref[sb, p])
+                    acc_ref[sb, p] = _acc_dots(onehot, m_parts,
+                                               acc_ref[sb, p])
 
         return 0
 
@@ -192,16 +203,26 @@ def sorted_segment_sum(msgs: Array, receivers: Array, num_segments: int,
 
 def _fwd_impl(msgs, receivers, num_segments, interpret, *,
               chunk_rows: int | None = None, g_blocks: int | None = None,
-              pack: int | None = None, dma_slots: int = 2):
-    CHUNK_ROWS = chunk_rows if chunk_rows is not None else globals()["CHUNK_ROWS"]
-    G_BLOCKS = g_blocks if g_blocks is not None else globals()["G_BLOCKS"]
+              pack: int | None = None, dma_slots: int | None = None):
     e, d_orig = msgs.shape
-    # lane packing: two <=64-wide edge rows share one 128-lane register row
-    # (free contiguous reshape); wider rows pad to a 128-lane multiple.
-    # Default OFF: the kernel is compute-overhead-bound, so halving lane
-    # traffic measured slower than the simple padded layout.
+    # Defaults re-derived in round 5 with profiler DEVICE time
+    # (experiments/spmm_sweep.py): the round-3 "all tilings within ±5%"
+    # conclusion was a wall-clock artifact — the tunnel's ~3-5 ms dispatch
+    # gap swamped the real differences. At arxiv scale:
+    #   * f32-128: chunk 512 / 4 slots = 1.58 ms (435 GB/s) vs the old
+    #     1024/2 default's 1.86 ms (370 GB/s);
+    #   * bf16-64: PACK 2 (two 64-lane rows per 128-lane register row,
+    #     halving DMA bytes) + chunk 512 / 4 slots = 1.22 ms vs 1.50 ms
+    #     for the padded pack-1 layout — lane packing WINS once device
+    #     time is measured (the opposite of the wall-clock-era default).
     if pack is None:
-        pack = 1
+        pack = 2 if (d_orig <= 64 and msgs.dtype == jnp.bfloat16) else 1
+    if chunk_rows is None:
+        chunk_rows = 512
+    if dma_slots is None:
+        dma_slots = 4
+    CHUNK_ROWS = chunk_rows
+    G_BLOCKS = g_blocks if g_blocks is not None else globals()["G_BLOCKS"]
     if pack == 2 and d_orig <= 64:
         d_eff = 64
     else:

@@ -102,3 +102,28 @@ def test_neighbor_sum_routed_matches_fallback(rng):
     g_ref = jax.grad(lambda x: ((f_ref(x) - t) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g_routed), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_bf16_narrow_pack2_default_matches_xla(rng):
+    """bf16 rows <=64 wide default to the PACK-2 lane-packed layout
+    (round-5 device-time sweep); the packed kernel must match the dense
+    reference within bf16 accumulation noise."""
+    import jax.numpy as jnp
+
+    from kagnn_tpu.pallas.spmm import sorted_segment_sum
+
+    e, n, d = 4096, 512, 64
+    recv = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    msgs = jnp.asarray(rng.normal(size=(e, d)).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    out = sorted_segment_sum(msgs, jnp.asarray(recv), n, True)
+    assert out.shape == (n, d) and out.dtype == jnp.bfloat16
+    want = jax.ops.segment_sum(msgs.astype(jnp.float32), jnp.asarray(recv),
+                               num_segments=n)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(want),
+                               rtol=2e-2, atol=2e-1)
+    # gradient stays the plain gather
+    f = lambda m: sorted_segment_sum(m, jnp.asarray(recv), n, True).astype(
+        jnp.float32).sum()
+    g = jax.grad(f)(msgs)
+    np.testing.assert_allclose(np.asarray(g, np.float32), 1.0)
