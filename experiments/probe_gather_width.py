@@ -72,15 +72,24 @@ def main():
     rng = np.random.default_rng(0)
     idx = jnp.asarray(rng.integers(0, N, E), jnp.int32)
     rows = {}
-    for width in (4, 64, 128, 256, 512):
-        x = jax.random.normal(jax.random.key(1), (N, width), jnp.bfloat16)
-        f = jax.jit(lambda x: jnp.take(x, idx, axis=0))
-        sec = timeit(f, x)
-        gbps = E * width * 2 / sec / 1e9
-        rows[f"w{width}"] = {"ms": round(sec * 1e3, 2),
-                             "rows_per_s_M": round(E / sec / 1e6, 1),
-                             "eff_gbps": round(gbps, 1)}
-        print(width, rows[f"w{width}"])
+    # width sweep in BOTH dtypes: the w256->w512 bf16 cliff left open
+    # whether lanes or BYTES classify a gather as slow (round-4 verdict
+    # item 5 — the GAT t-table is 384-lane bf16 = 768 B/row); crossing
+    # the same byte counts at two dtypes separates the hypotheses
+    for dt, tag, isz in ((jnp.bfloat16, "", 2), (jnp.float32, "_f32", 4)):
+        for width in (4, 64, 128, 256, 384, 512):
+            if dt == jnp.float32 and width in (4, 512):
+                continue
+            x = jax.random.normal(jax.random.key(1), (N, width), dt)
+            f = jax.jit(lambda x: jnp.take(x, idx, axis=0))
+            sec = timeit(f, x)
+            gbps = E * width * isz / sec / 1e9
+            rows[f"w{width}{tag}"] = {"ms": round(sec * 1e3, 2),
+                                      "rows_per_s_M": round(E / sec / 1e6, 1),
+                                      "eff_gbps": round(gbps, 1),
+                                      "bytes_per_row": width * isz}
+            print(width, str(dt.dtype if hasattr(dt,'dtype') else dt),
+                  rows[f"w{width}{tag}"])
 
     x64 = jax.random.normal(jax.random.key(1), (N, 64), jnp.bfloat16)
     sec_chain = chain_timeit(idx, x64, N)

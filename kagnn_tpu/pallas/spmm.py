@@ -122,7 +122,11 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, out_ref, acc_ref, scratch, sems,
                     c + dma_slots - 1).start()
 
         get_dma(slot, c).wait()
-        m_parts = _split_hilo(scratch[slot])  # (CHUNK_ROWS, d_eff*pack)
+        # NOTE: the hi/lo split deliberately happens INSIDE each sub-block
+        # dot (_acc_dots), not hoisted here — the hoisted variant measured
+        # 1.75 vs 1.58 ms at f32-128 (keeping both bf16 halves live across
+        # the sub-block loop beats Mosaic's convert-into-MXU-feed fusion)
+        m_parts = scratch[slot]  # (CHUNK_ROWS, d_eff*pack)
         ch_lo = c * epc
         ch_hi = ch_lo + epc
         for sb in range(g_blocks):
