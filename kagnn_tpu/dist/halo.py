@@ -318,9 +318,13 @@ def _local_graph_and_state(plan: HaloPlan, loc: dict, axis: str):
 def _psum_masked_ce(logits: Array, labels: Array, mask: Array,
                     axis: str) -> Array:
     """Global-mean masked cross entropy over node shards (matches
-    train/losses.masked_softmax_cross_entropy on the unsharded graph)."""
-    ll = optax.softmax_cross_entropy_with_integer_labels(
-        logits, labels.astype(jnp.int32))
+    train/losses.masked_softmax_cross_entropy on the unsharded graph —
+    same gather-free one-hot label pick, losses._pick_label_column)."""
+    from kagnn_tpu.train.losses import _pick_label_column
+
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    ll = lse - _pick_label_column(logits, labels.astype(jnp.int32))
     m = mask.astype(logits.dtype)
     num = jax.lax.psum((ll * m).sum(), axis)
     den = jax.lax.psum(m.sum(), axis)

@@ -299,14 +299,14 @@ _sorted_bwd_gather.defvjp(_sbg_fwd, _sbg_bwd)
 
 
 def _edge_gather(table, idx):
-    """Edge-space row gather feeding sorted_segment_sum: bf16 tables
-    <=64 wide stay NARROW (the kernel's pack-2 layout halves DMA bytes —
-    r5 device-time sweep, pallas/spmm.py docstring); wider/f32 tables
-    lane-pre-pad so no (E, d) pad copy precedes the kernel launch."""
+    """Edge-space row gather feeding sorted_segment_sum: the table is
+    lane-pre-padded (barrier-pinned — see gather_rows_padded) so no
+    (E, d) pad copy precedes the kernel launch. A narrow bf16 variant
+    feeding the pack-2 kernel layout was tried in round 5 and reverted:
+    (E, 64) bf16 occupies 128-lane tiles physically, so the repack XLA
+    inserts outside the kernel costs more than the in-kernel DMA saving."""
     from kagnn_tpu.pallas.spmm import gather_rows_padded
 
-    if table.dtype == jnp.bfloat16 and table.shape[1] <= 64:
-        return jnp.take(table, idx, axis=0, mode="clip")
     return gather_rows_padded(table, idx)
 
 

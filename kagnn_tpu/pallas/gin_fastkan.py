@@ -196,8 +196,9 @@ def _gin_fastkan(x, senders, receivers, edge_mask, senders_perm,
                  eps, grid_min, grid_max, num_grids,
                  denominator, ln_eps, interpret):
     lng, lnb, w_gdo, wb_do, bb = params
-    msgs = (gather_rows_padded(x, senders)
-            * edge_mask.astype(x.dtype)[:, None])
+    # no edge-mask multiply: padded edges point at the always-masked last
+    # row (batcher invariant) — see gin_fused._gin_kan for the argument
+    msgs = gather_rows_padded(x, senders)
     out, _ = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
@@ -208,8 +209,7 @@ def _gf_fwd(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
             recv_by_sender, mask_by_sender, params, eps, grid_min, grid_max,
             num_grids, denominator, ln_eps, interpret):
     lng, lnb, w_gdo, wb_do, bb = params
-    msgs = (gather_rows_padded(x, senders)
-            * edge_mask.astype(x.dtype)[:, None])
+    msgs = gather_rows_padded(x, senders)  # no mask multiply: see above
     out, z = _fwd_impl(msgs, receivers, x, eps, lng, lnb, w_gdo, wb_do, bb,
                        grid_min, grid_max, num_grids, denominator, ln_eps,
                        interpret)
@@ -236,10 +236,11 @@ def _gf_bwd(eps, grid_min, grid_max, num_grids, denominator, ln_eps,
     # permuted views are host-side precomputes when the batcher ships them
     if recv_by_sender is None:
         recv_by_sender = jnp.take(receivers, perm)
-    if mask_by_sender is None:
-        mask_by_sender = jnp.take(edge_mask, perm)
-    cot_e = gather_rows_padded(dz, recv_by_sender)
-    cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
+    # narrow bf16 gather (pack-2 spmm layout) where eligible; no mask
+    # multiply — cotangents at masked rows are zero (gin_fused._gk_bwd)
+    from kagnn_tpu.ops.segment import _edge_gather
+
+    cot_e = _edge_gather(dz, recv_by_sender)
     dx_a = sorted_segment_sum(cot_e, senders_sorted, n,
                               interpret)[:, :dz.shape[1]]
     dx = (1.0 + eps) * dz + dx_a

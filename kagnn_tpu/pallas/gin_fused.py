@@ -199,8 +199,13 @@ def _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k, interpret):
 def _gin_kan(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
              recv_by_sender, mask_by_sender, params, eps, k, interpret):
     grid_kd, wb_do, ws_gdo = params
-    msgs = (gather_rows_padded(x, senders)
-            * edge_mask.astype(x.dtype)[:, None])
+    # No edge-mask multiply: padded edges carry sender = receiver =
+    # n_node_pad-1 (batcher invariant), so their (finite) garbage lands
+    # only in the masked last row, which every downstream consumer masks
+    # (MaskedBatchNorm select / masked loss / masked pool). Dropping the
+    # (E, d) multiply saves a full edge-space pass per layer (round-5
+    # profile: broadcast_multiply_fusion, 0.6 ms at 128 lanes).
+    msgs = gather_rows_padded(x, senders)
     out, _ = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out
@@ -209,8 +214,7 @@ def _gin_kan(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
 def _gk_fwd(x, senders, receivers, edge_mask, senders_perm, senders_sorted,
             recv_by_sender, mask_by_sender, params, eps, k, interpret):
     grid_kd, wb_do, ws_gdo = params
-    msgs = (gather_rows_padded(x, senders)
-            * edge_mask.astype(x.dtype)[:, None])
+    msgs = gather_rows_padded(x, senders)  # no mask multiply: see _gin_kan
     out, z = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
                        interpret)
     return out, (z, receivers, edge_mask, senders_perm, senders_sorted,
@@ -270,10 +274,16 @@ def _gk_bwd(eps, k, interpret, res, dout):
     # them (on-device (E,) permutes are gather-row-rate-bound)
     if recv_by_sender is None:
         recv_by_sender = jnp.take(receivers, perm)
-    if mask_by_sender is None:
-        mask_by_sender = jnp.take(edge_mask, perm)
-    cot_e = gather_rows_padded(dz, recv_by_sender)
-    cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
+    # narrow bf16 gather (pack-2 spmm layout) where eligible; no edge-mask
+    # multiply — cotangents at masked rows are exactly zero (every consumer
+    # of the conv output masks them: MaskedBatchNorm's select excludes
+    # masked rows from both the normalize and the statistics, and the
+    # loss/pool are masked), so the padded edges' gathered cotangents
+    # (rows of the masked last node) vanish on their own. Round-5 profile:
+    # this pass was pad_multiply_fusion, 0.9 ms per layer.
+    from kagnn_tpu.ops.segment import _edge_gather
+
+    cot_e = _edge_gather(dz, recv_by_sender)
     dx_a = sorted_segment_sum(cot_e, senders_sorted, n,
                               interpret)[:, :dz.shape[1]]
     dx = (1.0 + eps) * dz + dx_a
@@ -295,6 +305,9 @@ def _gin_kan_ext(x, ext, senders, receivers, edge_mask, senders_perm,
     by a differentiable halo exchange — its VJP routes the halo rows'
     gradients back to their owner shards)."""
     grid_kd, wb_do, ws_gdo = params
+    # ext/halo path KEEPS the edge-mask multiply: the halo plan's padded
+    # edges point at local row B-1, which is a VALID node on interior
+    # shards (only the global batch's last row is masked by construction)
     msgs = (gather_rows_padded(ext, senders)
             * edge_mask.astype(x.dtype)[:, None])
     out, _ = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
@@ -306,6 +319,9 @@ def _gke_fwd(x, ext, senders, receivers, edge_mask, senders_perm,
              senders_sorted, recv_by_sender, mask_by_sender, params,
              eps, k, interpret, axis):
     grid_kd, wb_do, ws_gdo = params
+    # ext/halo path KEEPS the edge-mask multiply: the halo plan's padded
+    # edges point at local row B-1, which is a VALID node on interior
+    # shards (only the global batch's last row is masked by construction)
     msgs = (gather_rows_padded(ext, senders)
             * edge_mask.astype(x.dtype)[:, None])
     out, z = _fwd_impl(msgs, receivers, x, eps, grid_kd, wb_do, ws_gdo, k,
@@ -324,7 +340,12 @@ def _gke_bwd(eps, k, interpret, axis, res, dout):
         recv_by_sender = jnp.take(receivers, perm)
     if mask_by_sender is None:
         mask_by_sender = jnp.take(edge_mask, perm)
-    cot_e = gather_rows_padded(dz, recv_by_sender)
+    from kagnn_tpu.ops.segment import _edge_gather
+
+    # mask multiply stays on the halo path (padded receivers hit valid
+    # rows on interior shards — see _gin_kan_ext); the gather still rides
+    # the narrow bf16 pack-2 layout where eligible
+    cot_e = _edge_gather(dz, recv_by_sender)
     cot_e = cot_e * mask_by_sender.astype(cot_e.dtype)[:, None]
     dext = sorted_segment_sum(cot_e, senders_sorted, n_ext,
                               interpret)[:, :dz.shape[1]]

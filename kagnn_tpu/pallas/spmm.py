@@ -181,6 +181,13 @@ def gather_rows_padded(table: Array, idx: Array) -> Array:
     d_eff = -(-d // 128) * 128
     if d != d_eff:
         table = jnp.pad(table, ((0, 0), (0, d_eff - d)))
+        # pin the pad on the TABLE side: without the barrier XLA commutes
+        # it through the gather (gather 64 lanes, then pad the (E, d_eff)
+        # RESULT — a 0.9 ms full-edge-space pass at arxiv scale, seen as
+        # pad_multiply_fusion/pad.N in the r5 flagship profile), undoing
+        # exactly the E/N-times-cheaper node-side pad this helper exists
+        # to establish
+        table = jax.lax.optimization_barrier(table)
     # mode="clip": every index in this framework is in-range by batcher
     # invariant (padded edges point at the masked last row), and the
     # default "fill" mode costs a full (E, d)-size out-of-bounds select
@@ -212,15 +219,16 @@ def _fwd_impl(msgs, receivers, num_segments, interpret, *,
     # Defaults re-derived in round 5 with profiler DEVICE time
     # (experiments/spmm_sweep.py): the round-3 "all tilings within ±5%"
     # conclusion was a wall-clock artifact — the tunnel's ~3-5 ms dispatch
-    # gap swamped the real differences. At arxiv scale:
-    #   * f32-128: chunk 512 / 4 slots = 1.58 ms (435 GB/s) vs the old
-    #     1024/2 default's 1.86 ms (370 GB/s);
-    #   * bf16-64: PACK 2 (two 64-lane rows per 128-lane register row,
-    #     halving DMA bytes) + chunk 512 / 4 slots = 1.22 ms vs 1.50 ms
-    #     for the padded pack-1 layout — lane packing WINS once device
-    #     time is measured (the opposite of the wall-clock-era default).
+    # gap swamped the real differences. At arxiv scale, chunk 512 / 4 DMA
+    # slots: f32-128 1.58 ms (was 1.86 at 1024/2), bf16-64 1.39 ms (was
+    # 1.50). PACK stays 1 by default: the pack-2 kernel alone measures
+    # 1.22 ms, but a narrow (E, 64) bf16 array physically occupies
+    # 128-lane tiles on TPU, so the (E/2, 128) repack XLA must insert
+    # OUTSIDE the kernel (materialized reshape+pad, ~1.6 ms/call in the
+    # r5 flagship profile) costs more than the in-kernel DMA saving —
+    # pack=2 remains available for callers that already hold packed data.
     if pack is None:
-        pack = 2 if (d_orig <= 64 and msgs.dtype == jnp.bfloat16) else 1
+        pack = 1
     if chunk_rows is None:
         chunk_rows = 512
     if dma_slots is None:

@@ -14,10 +14,26 @@ import optax
 Array = jax.Array
 
 
+def _pick_label_column(values: Array, labels: Array) -> Array:
+    """values[i, labels[i]] via a one-hot select-reduce, NOT a gather.
+
+    `take_along_axis` lowers to a row gather; the TPU gather engine is
+    row-rate-bound (~130 M rows/s), so picking one scalar per row of a
+    (169k, C) array costs ~1.3 ms/step — and its transpose is a scatter.
+    The select-reduce reads the values once on the VPU (~0.1 ms) and its
+    transpose is an elementwise select (fuses into the softmax backward).
+    Flagship profile round 5: fusion.7, 1.31 ms -> noise."""
+    cls = jax.lax.broadcasted_iota(jnp.int32, values.shape, 1)
+    return jnp.sum(jnp.where(cls == labels[:, None], values, 0.0), axis=-1)
+
+
 def masked_softmax_cross_entropy(logits: Array, labels: Array,
                                  mask: Array) -> Array:
-    """Mean CE over rows where mask is True."""
-    ll = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    """Mean CE over rows where mask is True (gather-free: see
+    _pick_label_column)."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    ll = lse - _pick_label_column(logits, labels.astype(jnp.int32))
     m = mask.astype(logits.dtype)
     return (ll * m).sum() / jnp.maximum(m.sum(), 1.0)
 
@@ -25,7 +41,7 @@ def masked_softmax_cross_entropy(logits: Array, labels: Array,
 def masked_nll(log_probs: Array, labels: Array, mask: Array) -> Array:
     """Mean negative log-likelihood of integer labels over masked rows
     (inputs already log-softmaxed, like the reference's F.nll_loss usage)."""
-    picked = jnp.take_along_axis(log_probs, labels[:, None], axis=1)[:, 0]
+    picked = _pick_label_column(log_probs, labels.astype(jnp.int32))
     m = mask.astype(log_probs.dtype)
     return -(picked * m).sum() / jnp.maximum(m.sum(), 1.0)
 
