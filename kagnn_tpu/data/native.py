@@ -210,6 +210,9 @@ class NativeBatchAssembler:
             receivers_by_sender=jnp.asarray(out_rcv[out_perm]),
             edge_mask_by_sender=jnp.asarray(
                 out_edge_mask[out_perm].astype(bool)),
+            in_degrees=jnp.asarray(np.bincount(
+                out_rcv[:int(out_counts[1])],
+                minlength=spec.n_node).astype(np.int32)),
         )
 
 

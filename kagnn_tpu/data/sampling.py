@@ -155,6 +155,8 @@ class NeighborSampler:
             receivers_by_sender=jnp.asarray(rcv[perm]),
             edge_mask_by_sender=jnp.asarray(
                 (np.arange(self.n_edge_pad) < n_edge)[perm]),
+            in_degrees=jnp.asarray(np.bincount(
+                rcv[:n_edge], minlength=self.n_node_pad).astype(np.int32)),
         )
 
     def epoch(self, train_nodes, node_feat=None, y=None

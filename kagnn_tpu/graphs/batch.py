@@ -67,6 +67,12 @@ class GraphBatch:
     # through the sorted-segment-sum kernel instead of an XLA scatter.
     senders_perm: Optional[Array] = None  # (E,) int32
     senders_sorted: Optional[Array] = None  # (E,) int32
+    # valid in-edge counts per node (host-side bincount, free at assembly).
+    # GCNConv's symmetric norm needs them; computing on device would be a
+    # searchsorted over E = a 21-iteration binary-search while-loop costing
+    # ~80 ms/step at arxiv scale (round-5 profile, while.47). Optional:
+    # consumers fall back to the on-device computation when None.
+    in_degrees: Optional[Array] = None  # (N,) int32
     # precomputed permuted views (host-side, free): receivers/edge_mask in
     # SENDER-sorted edge order. Consumed by the scatter-free backwards
     # (ops/segment._ns_bwd/_nsa_bwd, pallas gin_fused/gin_fastkan/gat_fused/
@@ -137,6 +143,8 @@ def single_graph(
         if edges is not None:
             edges = np.asarray(edges)[order]
 
+    in_deg = np.bincount(receivers, minlength=n_pad).astype(np.int32)
+
     pad_e = e_pad - n_edge
     senders = np.concatenate([senders, np.full(pad_e, n_pad - 1, np.int32)])
     receivers = np.concatenate([receivers, np.full(pad_e, n_pad - 1, np.int32)])
@@ -178,6 +186,7 @@ def single_graph(
         senders_sorted=jnp.asarray(senders[perm]),
         receivers_by_sender=jnp.asarray(receivers[perm]),
         edge_mask_by_sender=jnp.asarray(edge_mask[perm]),
+        in_degrees=jnp.asarray(in_deg),
     )
 
 
@@ -258,6 +267,8 @@ def batch_graphs(
         if edge_feats:
             edge_feats = [np.concatenate(edge_feats)[order]]
 
+    in_deg = np.bincount(receivers, minlength=spec.n_node).astype(np.int32)
+
     pad_e = spec.n_edge - n_edge
     senders = np.concatenate([senders, np.full(pad_e, spec.n_node - 1, np.int32)])
     receivers = np.concatenate([receivers, np.full(pad_e, spec.n_node - 1, np.int32)])
@@ -304,4 +315,5 @@ def batch_graphs(
         senders_sorted=jnp.asarray(senders[perm]),
         receivers_by_sender=jnp.asarray(receivers[perm]),
         edge_mask_by_sender=jnp.asarray(edge_mask[perm]),
+        in_degrees=jnp.asarray(in_deg),
     )

@@ -68,11 +68,18 @@ def fastkan_transform(num_grids: int = 4, fused: bool = False) -> TransformFacto
 def _degree_with_self_loops(g: GraphBatch, dtype) -> Array:
     """d_i = 1 + #incoming valid edges.
 
-    Receivers are SORTED (batcher invariant), so in-degrees are adjacent
-    differences of searchsorted boundaries — a vectorized binary search
-    instead of the (E,) scatter-add XLA would serialize. Padded edges all
-    point at the last padded row (batcher invariant), so they only inflate
-    that masked row's count."""
+    The framework batchers ship `in_degrees` (a free host-side bincount at
+    assembly) — the on-device computation below is the fallback for
+    directly-constructed batches. It looks vectorized, but XLA lowers
+    searchsorted to a ~log2(E)-iteration binary-search while loop whose
+    per-iteration (N,) gather is row-rate-bound: ~80 ms/step at arxiv
+    scale (round-5 profile) for a data-independent quantity."""
+    if g.in_degrees is not None:
+        # in_degrees is always the GLOBAL count: the batchers compute it
+        # over all valid edges, and the edge-partition mode replicates
+        # node-space leaves across shards (dist/partition._specs_for), so
+        # no collective is needed here.
+        return g.in_degrees.astype(dtype) + 1.0
     bounds = jnp.searchsorted(
         g.receivers, jnp.arange(g.n_node_pad + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
