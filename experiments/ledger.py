@@ -401,15 +401,18 @@ def _measure_gat_kernel(which: str) -> dict:
             lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             return hi, lo
 
-        T = jnp.concatenate(
-            [dout, *hilo(adst), *hilo(alpha), *hilo(S)], axis=1)
+        NRW = jnp.concatenate(
+            [*hilo(adst), *hilo(alpha), *hilo(S)], axis=1)
         rbs = g.receivers_by_sender
-        t_table = jnp.take(T, rbs, axis=0)
+        t_parts = tuple(jnp.take(dout[:, i:i + 128], rbs, axis=0)
+                        for i in range(0, hc, 128))
+        nrw_table = jnp.take(NRW, rbs, axis=0)
         ssm = jnp.where(g.edge_mask_by_sender, g.senders_sorted, IMAX)
 
-        def run(t_table, h):
-            return gat_bwd_sender(t_table, ssm, h, amat, H, hc, 0.2, False)
-        sec = _timeit(jax.jit(run), (t_table, h))
+        def run(t_parts, nrw_table, h):
+            return gat_bwd_sender(t_parts, nrw_table, ssm, h, amat, H, hc,
+                                  0.2, False)
+        sec = _timeit(jax.jit(run), (t_parts, nrw_table, h))
         return {"ms": sec * 1e3}
 
     raise ValueError(which)

@@ -339,7 +339,12 @@ def _make_singleton_step_direct(model, tx, g: GraphBatch, mask,
 
     from kagnn_tpu.train.loops import make_node_steps
 
-    loss_mask = jnp.asarray(mask)
+    if getattr(mask, "shape", None) and mask.shape[0] == g.n_node_pad:
+        loss_mask = jnp.asarray(mask)  # already padded: no host round-trip
+    else:
+        m = np.asarray(mask)
+        loss_mask = jnp.asarray(np.pad(
+            m, (0, g.n_node_pad - m.shape[0]), constant_values=False))
     step_fn, _ = make_node_steps(model, tx)
 
     def step(state: TrainState, key):

@@ -13,13 +13,20 @@ the whole gradient to ONE wide row gather:
     splits), asrc_e = msgs @ A in-kernel. Emits the node-space
     da_dst = sum_{e->r} dz_e accumulated per destination block.
 
-  * `gat_bwd_sender` (transpose-oriented, ONE gather): the same kernel
+  * `gat_bwd_sender` (transpose-oriented, TWO gathers): the same kernel
     structure run over SENDER-sorted edges. The per-edge receiver-side
-    values (dout, adst, alpha, S) arrive as one streamed table gathered at
-    receivers[perm] (a single wide row pass; the three narrow node arrays
-    ride as hi/lo bf16 lane pairs, exact on reconstruction); messages and
-    asrc are SOURCE-block-local (one-hot selects of the x block). Emits
-    node-space dh_msgs = sum_{e: src=s} w_e*dout_e and
+    values arrive as two streamed tables gathered at receivers[perm] —
+    dout as its own (E, hc) pass and the three narrow node arrays as a
+    separate (E, 6H) pass of hi/lo bf16 lane pairs (exact on
+    reconstruction). Two gathers beat the round-4 single concatenated
+    (E, hc+6H) gather: the chip's row-gather engine has a fast class for
+    rows <= 512 B (~3.2 ns/row in-program) and a ~4x slower class above
+    it (CALIBRATION.json gather table, w256->w512 cliff) — at hc=256
+    bf16 the combined 384-lane table (768 B/row) was slow-class
+    (15.2 ms/layer measured round 5) while the split 512 B + 256 B
+    passes are both fast-class. Messages and asrc are SOURCE-block-local
+    (one-hot selects of the x block). Emits node-space
+    dh_msgs = sum_{e: src=s} w_e*dout_e and
     da_src = sum_{e: src=s} dz_e per source block.
 
 Edge weights are rematerialized as w_e = exp(lg_e - alpha_e) with the
@@ -272,10 +279,20 @@ def gat_bwd_dadst(msgs, recv_m, dout, adst, alpha, S, amat, heads, hc,
 # sender-oriented (transpose): dh_msgs + da_src (one gather)
 # --------------------------------------------------------------------------
 
-def _sender_kernel(offsets_ref, snd_ref, t_hbm, x_ref, amat_ref, dh_ref,
-                   dasrc_ref, acc_dh, acc_da, t_scr, tsems, *, heads: int,
-                   c_head: int, hc: int, hc_eff: int, t_eff: int,
-                   g_blocks: int, slope: float):
+def _sender_kernel(offsets_ref, snd_ref, *refs, heads: int, c_head: int,
+                   hc: int, hc_eff: int, n_parts: int, part_widths,
+                   nrw_eff: int, g_blocks: int, slope: float):
+    # refs: [t_hbm x n_parts, nrw_hbm, x_ref, amat_ref,  (inputs)
+    #        dh_ref, dasrc_ref,                          (outputs)
+    #        acc_dh, acc_da, t_scr x n_parts, nrw_scr,   (scratch)
+    #        tsems x n_parts, nsems]
+    t_hbms = refs[:n_parts]
+    nrw_hbm, x_ref, amat_ref, dh_ref, dasrc_ref, acc_dh, acc_da = (
+        refs[n_parts:n_parts + 7])
+    t_scrs = refs[n_parts + 7:2 * n_parts + 7]
+    nrw_scr = refs[2 * n_parts + 7]
+    tsems = refs[2 * n_parts + 8:3 * n_parts + 8]
+    nsems = refs[3 * n_parts + 8]
     H, C = heads, c_head
     g = pl.program_id(0)
     start = offsets_ref[g * g_blocks]
@@ -285,17 +302,24 @@ def _sender_kernel(offsets_ref, snd_ref, t_hbm, x_ref, amat_ref, dh_ref,
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (ROWS_PER_BLOCK, CHUNK), 0)
 
-    def t_dma(slot, c):
+    def t_dma(p, slot, c):
         return pltpu.make_async_copy(
-            t_hbm.at[pl.ds(c * CHUNK, CHUNK), :], t_scr.at[slot],
-            tsems.at[slot])
+            t_hbms[p].at[pl.ds(c * CHUNK, CHUNK), :], t_scrs[p].at[slot],
+            tsems[p].at[slot])
+
+    def nrw_dma(slot, c):
+        return pltpu.make_async_copy(
+            nrw_hbm.at[pl.ds(c * CHUNK, CHUNK), :], nrw_scr.at[slot],
+            nsems.at[slot])
 
     acc_dh[...] = jnp.zeros_like(acc_dh)
     acc_da[...] = jnp.zeros_like(acc_da)
 
     @pl.when(c1 > c0)
     def _():
-        t_dma(0, c0).start()
+        for p in range(n_parts):
+            t_dma(p, 0, c0).start()
+        nrw_dma(0, c0).start()
 
     # per-source logits for the WHOLE group, hoisted out of the chunk loop
     # (depends only on the x block — was recomputed per chunk x sub-block)
@@ -309,19 +333,28 @@ def _sender_kernel(offsets_ref, snd_ref, t_hbm, x_ref, amat_ref, dh_ref,
 
         @pl.when(c + 1 < c1)
         def _():
-            t_dma((c - c0 + 1) % 2, c + 1).start()
+            for p in range(n_parts):
+                t_dma(p, (c - c0 + 1) % 2, c + 1).start()
+            nrw_dma((c - c0 + 1) % 2, c + 1).start()
 
-        t_dma(slot, c).wait()
-        t = t_scr[slot]  # (CHUNK, t_eff): [dout | adst hi lo | alpha hi lo
-        #                                   | S hi lo] at receivers[perm]
+        for p in range(n_parts):
+            t_dma(p, slot, c).wait()
+        nrw_dma(slot, c).wait()
+        # (CHUNK, hc): dout at receivers[perm], re-assembled from the
+        # <=128-lane part streams (each part's valid width recorded at
+        # trace time; the rest of its lanes is gather padding)
+        t = jnp.concatenate(
+            [t_scrs[p][slot][:, :part_widths[p]] for p in range(n_parts)],
+            axis=1)
+        nrw = nrw_scr[slot]  # (CHUNK, nrw_eff): [adst hi lo | alpha hi lo
+        #                                         | S hi lo] at recv[perm]
         dout_e = t[:, :hc].astype(jnp.float32)
-        nb = hc
-        adst_e = (t[:, nb:nb + H].astype(jnp.float32)
-                  + t[:, nb + H:nb + 2 * H].astype(jnp.float32))
-        alpha_e = (t[:, nb + 2 * H:nb + 3 * H].astype(jnp.float32)
-                   + t[:, nb + 3 * H:nb + 4 * H].astype(jnp.float32))
-        s_e = (t[:, nb + 4 * H:nb + 5 * H].astype(jnp.float32)
-               + t[:, nb + 5 * H:nb + 6 * H].astype(jnp.float32))
+        adst_e = (nrw[:, :H].astype(jnp.float32)
+                  + nrw[:, H:2 * H].astype(jnp.float32))
+        alpha_e = (nrw[:, 2 * H:3 * H].astype(jnp.float32)
+                   + nrw[:, 3 * H:4 * H].astype(jnp.float32))
+        s_e = (nrw[:, 4 * H:5 * H].astype(jnp.float32)
+               + nrw[:, 5 * H:6 * H].astype(jnp.float32))
         ch_lo = c * CHUNK
         ch_hi = ch_lo + CHUNK
         for sb in range(g_blocks):
@@ -360,25 +393,42 @@ def _sender_kernel(offsets_ref, snd_ref, t_hbm, x_ref, amat_ref, dh_ref,
         dasrc_ref[r0:r0 + ROWS_PER_BLOCK, :] = acc_da[sb]
 
 
-def gat_bwd_sender(t_table, senders_sorted_m, x_aug, amat, heads, hc, slope,
-                   interpret=False):
+def gat_bwd_sender(t_parts, nrw_table, senders_sorted_m, x_aug, amat, heads,
+                   hc, slope, interpret=False, part_widths=None):
     """dh_msgs (N, hc) and da_src (N, H) accumulated per SOURCE block.
 
-    t_table (E, hc + 6H): the per-edge receiver-side values in sender-sorted
-    edge order — build as take(T, receivers[perm]) with
-    T = [dout | hi/lo(adst) | hi/lo(alpha) | hi/lo(S)] (ONE wide row pass).
+    t_parts: tuple of (E, <=128) column parts of dout in sender-sorted edge
+    order — each part gathered separately as take(dout[:, lo:hi], rbs) with
+    rbs = receivers[perm]; their lane-concat is the per-edge dout.
+    nrw_table (E, 6H): the narrow receiver-side values
+    [hi/lo(adst) | hi/lo(alpha) | hi/lo(S)] gathered at the same rows.
+    Splitting every gather to <= 128 lanes (<= 256 B/row in bf16) keeps all
+    of them in the chip's fast gather class — see module docstring; a
+    single (E, hc) dout pass at hc=256 bf16 (512 B/row) is fast standalone
+    but XLA emits a ~3x serialized variant for it inside the train step.
     senders_sorted_m: ascending source ids with invalid edges at int32max.
     """
-    e, t_lanes = t_table.shape
+    if not isinstance(t_parts, (tuple, list)):
+        t_parts = (t_parts,)
+    e = t_parts[0].shape[0]
     n, hca = x_aug.shape
     H = heads
     C = hc // H
+    n_parts = len(t_parts)
+    if part_widths is None:
+        # default: the standard 128-column split of dout (parts may arrive
+        # lane-padded by gather_rows_padded, so widths can't be read off
+        # the shapes)
+        part_widths = tuple(min(128, hc - 128 * p) for p in range(n_parts))
+    assert sum(part_widths) == hc, (part_widths, hc)
+    part_lanes = -(-max(p.shape[1] for p in t_parts) // 128) * 128
     hc_eff = -(-hca // 128) * 128
-    t_eff = -(-t_lanes // 128) * 128
-    t_p = _pad_to(_pad_to(t_table, t_eff, axis=1), CHUNK)
+    nrw_eff = -(-nrw_table.shape[1] // 128) * 128
+    t_ps = [_pad_to(_pad_to(t, part_lanes, axis=1), CHUNK) for t in t_parts]
+    nrw_p = _pad_to(_pad_to(nrw_table, nrw_eff, axis=1), CHUNK)
     snd_p = _pad_to(senders_sorted_m.astype(jnp.int32), CHUNK,
                     fill=2**31 - 1)
-    ep = t_p.shape[0]
+    ep = t_ps[0].shape[0]
     n_chunks = ep // CHUNK
 
     n_blocks = -(-n // ROWS_PER_BLOCK)
@@ -393,16 +443,18 @@ def gat_bwd_sender(t_table, senders_sorted_m, x_aug, amat, heads, hc, slope,
     offsets = jnp.concatenate([block_starts, jnp.asarray([e], jnp.int32)])
 
     blockspec = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    in_specs = [
+        blockspec((n_chunks, CHUNK), lambda g, *_: (0, 0)),
+        *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_parts)],
+        pl.BlockSpec(memory_space=pl.ANY),
+        blockspec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
+                  lambda g, *_: (g, 0)),
+        blockspec((hc_eff, H), lambda g, *_: (0, 0)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups,),
-        in_specs=[
-            blockspec((n_chunks, CHUNK), lambda g, *_: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            blockspec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
-                      lambda g, *_: (g, 0)),
-            blockspec((hc_eff, H), lambda g, *_: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             blockspec((G_BLOCKS * ROWS_PER_BLOCK, hc_eff),
                       lambda g, *_: (g, 0)),
@@ -411,24 +463,29 @@ def gat_bwd_sender(t_table, senders_sorted_m, x_aug, amat, heads, hc, slope,
         scratch_shapes=[
             pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, hc_eff), jnp.float32),
             pltpu.VMEM((G_BLOCKS, ROWS_PER_BLOCK, H), jnp.float32),
-            pltpu.VMEM((2, CHUNK, t_eff), t_table.dtype),
+            *[pltpu.VMEM((2, CHUNK, part_lanes), t.dtype) for t in t_parts],
+            pltpu.VMEM((2, CHUNK, nrw_eff), nrw_table.dtype),
+            *[pltpu.SemaphoreType.DMA((2,)) for _ in range(n_parts)],
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dh, dasrc = pl.pallas_call(
         functools.partial(_sender_kernel, heads=H, c_head=C, hc=hc,
-                          hc_eff=hc_eff, t_eff=t_eff, g_blocks=G_BLOCKS,
-                          slope=float(slope)),
+                          hc_eff=hc_eff, n_parts=n_parts,
+                          part_widths=part_widths, nrw_eff=nrw_eff,
+                          g_blocks=G_BLOCKS, slope=float(slope)),
         grid_spec=grid_spec,
         out_shape=(
-            vma_shape((rows_out, hc_eff), jnp.float32, t_p),
-            vma_shape((rows_out, H), jnp.float32, t_p),
+            vma_shape((rows_out, hc_eff), jnp.float32, t_ps[0]),
+            vma_shape((rows_out, H), jnp.float32, t_ps[0]),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * ep * ROWS_PER_BLOCK * hc_eff,
-            bytes_accessed=t_table.dtype.itemsize * ep * t_eff
+            bytes_accessed=t_parts[0].dtype.itemsize * ep * n_parts
+            * part_lanes
+            + nrw_table.dtype.itemsize * ep * nrw_eff
             + 4 * (ep + 3 * rows_out * hc_eff),
             transcendentals=ep * H),
         interpret=interpret,
-    )(offsets, snd_p.reshape(n_chunks, CHUNK), t_p, x_p, amat_p)
+    )(offsets, snd_p.reshape(n_chunks, CHUNK), *t_ps, nrw_p, x_p, amat_p)
     return dh[:n, :hc], dasrc[:n]

@@ -202,7 +202,13 @@ def _kernel(offsets_ref, recv_ref, msgs_hbm, x_ref, adst_ref, amat_ref,
                 s_old = s_scr[sb]
                 acc_old = acc_scr[sb]
                 # per-edge destination term (exact via hi/lo one-hot
-                # matmuls) and per-edge shift (exact: mx bf16-rounded)
+                # matmuls) and per-edge shift (exact: mx bf16-rounded).
+                # NOTE round-5 probe: a "one wide matmul over weight-scaled
+                # messages" restructure (build (CHUNK, HC) wexp by lane-
+                # broadcasting per-head weights, then a single onehot@ms
+                # MXU pass) measured 7.98 ms/launch vs 4.97 for this
+                # per-head loop — VPU cross-lane broadcasts dominate; the
+                # narrow per-head masked matmuls are the faster form.
                 hi = adst_sb.astype(jnp.bfloat16)
                 lo = (adst_sb - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 adst_e = (jax.lax.dot_general(
@@ -420,19 +426,36 @@ def _ga_bwd(heads, negative_slope, interpret, res, dout):
         lo = (x - hi.astype(f32)).astype(jnp.bfloat16)
         return hi.astype(wd), lo.astype(wd)
 
-    T = jnp.concatenate(
-        [dout_w, *hilo(adst.astype(f32)), *hilo(alpha),
-         *hilo(S)], axis=1)                               # (N, hc + 6H)
+    # dout rides 128-lane column-part gathers and the three narrow node
+    # arrays a separate (E, 6H) one: every per-edge row pass stays <= 256 B
+    # in bf16, the chip's fast gather class (a single 256-lane pass is fast
+    # standalone but XLA serializes it ~3x inside the step — see gat_bwd.py)
+    NRW = jnp.concatenate(
+        [*hilo(adst.astype(f32)), *hilo(alpha), *hilo(S)], axis=1)
     # the sender-sorted permuted views are host-side precomputes when the
     # batcher ships them (on-device (E,) permutes are gather-row-rate-bound)
     rbs = (jnp.take(receivers, perm) if recv_by_sender is None
            else recv_by_sender)
     mbs = (jnp.take(edge_mask, perm) if mask_by_sender is None
            else mask_by_sender)
-    t_table = gather_rows_padded(T, rbs)
+    # chain the part gathers: each 128-lane slice of dout is only
+    # produced AFTER the previous part's gather completes, so the (N, 128)
+    # tables' alternate-memory live ranges don't overlap — XLA's fast
+    # (SC-offloaded) gather path requires the table in alternate memory,
+    # whose budget fits ~2 such tables; overlapping ranges force one
+    # gather onto the ~6x slower serialized TensorCore path
+    t_parts = []
+    src = dout_w
+    for i in range(0, hc, 128):
+        t_parts.append(gather_rows_padded(src[:, i:i + 128], rbs))
+        if i + 128 < hc:
+            src = jax.lax.optimization_barrier((src, t_parts[-1]))[0]
+    t_parts = tuple(t_parts)
+    nrw_table = gather_rows_padded(NRW, rbs)
     ssm = jnp.where(mbs, senders_sorted, IMAX)
-    dh_msgs, dasrc_e = gat_bwd_sender(t_table, ssm, x_aug, amat_r, H, hc,
-                                      negative_slope, interpret)
+    dh_msgs, dasrc_e = gat_bwd_sender(t_parts, nrw_table, ssm, x_aug,
+                                      amat_r, H, hc, negative_slope,
+                                      interpret)
 
     # self-loop terms
     zs = (asrc + adst).astype(f32)

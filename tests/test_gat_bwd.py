@@ -73,13 +73,17 @@ def test_gat_bwd_kernels_match_xla_composition(rng):
     ah, al = hilo(adst)
     lh, ll = hilo(alpha)
     sh, sl_ = hilo(S)
-    T = jnp.concatenate([dout, ah, al, lh, ll, sh, sl_], axis=1)
+    NRW = jnp.concatenate([ah, al, lh, ll, sh, sl_], axis=1)
     rbs = jnp.take(g.receivers, g.senders_perm)
-    t_table = jnp.take(T, rbs, axis=0)
+    # two column parts exercises the multi-stream (n_parts=2) kernel path
+    t_parts = (jnp.take(dout[:, :32], rbs, axis=0),
+               jnp.take(dout[:, 32:], rbs, axis=0))
+    nrw_table = jnp.take(NRW, rbs, axis=0)
     snd_sorted_m = jnp.where(
         jnp.take(g.edge_mask, g.senders_perm), g.senders_sorted, IMAX)
-    dh_k, dasrc_k = gat_bwd_sender(t_table, snd_sorted_m, h, amat, heads,
-                                   hc, SLOPE, interpret=True)
+    dh_k, dasrc_k = gat_bwd_sender(t_parts, nrw_table, snd_sorted_m, h,
+                                   amat, heads, hc, SLOPE, interpret=True,
+                                   part_widths=(32, 32))
     np.testing.assert_allclose(np.asarray(dasrc_k), np.asarray(dasrc_ref),
                                rtol=3e-3, atol=3e-3)
     np.testing.assert_allclose(np.asarray(dh_k), np.asarray(dh_ref),
