@@ -200,12 +200,27 @@ class GATConv(nn.Module):
             # The block-diagonal expansion of att_src lets the kernel
             # recompute per-edge source logits from the message stream
             # (asrc == h_flat @ amat), killing the narrow logit gathers.
-            alpha_src = (h * att_src).sum(-1)  # (N, H)
-            alpha_dst = (h * att_dst).sum(-1)
+            # per-head logit reductions as bf16-input dots with f32
+            # accumulation: `(h * att).sum(-1)` promotes h to a full f32
+            # (N, H, C) intermediate (and its VJP transposes it for the
+            # att-weight grad) — ~174 MB of f32 node-space traffic per
+            # layer at arxiv scale (round-5 GAT profile: the 0.5 ms
+            # {1,0}->{0,1} copies + multiply_convert fusions)
             amat = (att_src[0][:, :, None]
                     * jnp.eye(H, dtype=att_src.dtype)[:, None, :]
                     ).reshape(H * C, H)
-            out = segment.gat_attention(h.reshape(-1, H * C), alpha_src,
+            amat_dst = (att_dst[0][:, :, None]
+                        * jnp.eye(H, dtype=att_dst.dtype)[:, None, :]
+                        ).reshape(H * C, H)
+            h_flat = h.reshape(-1, H * C)
+            dnum = (((1,), (0,)), ((), ()))
+            alpha_src = jax.lax.dot_general(
+                h_flat, amat.astype(h.dtype), dnum,
+                preferred_element_type=jnp.float32)  # (N, H)
+            alpha_dst = jax.lax.dot_general(
+                h_flat, amat_dst.astype(h.dtype), dnum,
+                preferred_element_type=jnp.float32)
+            out = segment.gat_attention(h_flat, alpha_src,
                                         alpha_dst, g, self.negative_slope,
                                         att_src_matrix=amat)
         if self.use_bias:
