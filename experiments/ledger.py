@@ -572,6 +572,9 @@ def _assemble_and_write(rows, args):
             if vg_ms and fb_ms else None,
             "optimizer_ms": round(step_ms - vg_ms, 2)
             if step_ms and vg_ms else None,
+            "noise_note": "phase walls carry ~±2 ms tunnel window noise; "
+                          "small/negative differences mean 'below the "
+                          "noise floor', not negative work",
         },
         "min_hbm_bytes": min_bytes,
         "min_hbm_gb": round(min_bytes / 1e9, 3),
@@ -601,8 +604,23 @@ def _assemble_and_write(rows, args):
                 gat[name] = round(v, 2)
         if all(v for v in (gfb, kf, kd, ks_)):
             kernels_total = 3 * (kf + kd + ks_)
-            gat["kernels_total_ms"] = round(kernels_total, 2)
-            gat["glue_ms"] = round(gfb - kernels_total, 2)
+            gat["kernels_total_standalone_ms"] = round(kernels_total, 2)
+            glue = gfb - kernels_total
+            if glue >= 0:
+                gat["glue_ms"] = round(glue, 2)
+            else:
+                # standalone launches carry per-execution dispatch gap the
+                # embedded launches do not — once the kernels get fast
+                # enough, 3x the standalone sum EXCEEDS the whole in-
+                # program fwd+bwd and the subtraction is meaningless. The
+                # trustworthy in-program per-launch numbers come from the
+                # profiler trace (experiments/profile_step.py --path
+                # gat-fastkan-bf16), not from this difference.
+                gat["glue_ms"] = None
+                gat["glue_note"] = ("standalone kernel walls include "
+                                    "dispatch gap; sum exceeds in-program "
+                                    "fwdbwd — use profile_step.py for "
+                                    "in-program attribution")
         out["gat"] = gat
     # Halo partition tax at 1 shard (VERDICT round-3 item 4)
     hfull, hspec = ms("halo-step-full"), ms("halo-step-spec")
@@ -667,9 +685,13 @@ def _assemble_and_write(rows, args):
         flags.append("fwd > fwdbwd")
     if fb_ms and step_ms and not fb_ms <= step_ms * slack:
         flags.append("fwdbwd > step")
+    # noise floor: phase walls carry ~±2 ms of tunnel window noise, so a
+    # small negative difference means "below the noise floor", not an
+    # inconsistency (see derived.noise_note)
+    noise_ms = 2.5
     for k, v in out["derived"].items():
-        if v is not None and v < 0:
-            flags.append(f"derived.{k} negative")
+        if isinstance(v, (int, float)) and v < -noise_ms:
+            flags.append(f"derived.{k} negative beyond noise floor")
     out["consistency"] = {"ok": not flags, "flags": flags,
                           "slack": slack}
     print(json.dumps(out, indent=1))
