@@ -60,10 +60,35 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
         float(res[-1].sum())
         windows.append((time.perf_counter() - t0) / iters)
     sec = min(windows)
-    # DEVICE time via profiler trace: the wall number carries a ~3 ms
-    # per-execution dispatch gap the tunnel cannot hide even pipelined,
-    # plus out-slice glue — the device custom-call duration is the
-    # kernel's true cost (and what an embedded launch costs in a step)
+    # CHAINED-WALL anchor (round 5): 8 scalar-dependent launches inside ONE
+    # executable, wall/8 — bounds the per-launch cost from above with only
+    # one dispatch and one (E, d) rescale pass per launch of overhead.
+    # Needed because the profiler's custom-call durations below are Mosaic
+    # STATIC ESTIMATES, not measurements (experiments/gat_sweep.py): the
+    # true embedded cost lies between device_ms and this bound.
+    @jax.jit
+    def chain(m0):
+        total = jnp.zeros((), jnp.float32)
+        m = m0
+        for _ in range(8):
+            o = sorted_segment_sum(m, g.receivers, n, False)
+            total = total + o[0, 0].astype(jnp.float32)
+            m = m0 * (1.0 + 1e-12 * total).astype(m0.dtype)
+        return total
+
+    float(chain(msgs))
+    cwins = []
+    a = msgs
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            a = a * jnp.asarray(1.0 + 1e-6, a.dtype)
+            r = chain(a)
+        float(r)
+        cwins.append((time.perf_counter() - t0) / 4)
+    chained_ms = min(cwins) / 8 * 1e3
+    # DEVICE time via profiler trace — CAUTION: for Pallas custom calls
+    # this is a Mosaic static estimate, not a measurement (see above)
     device_ms = None
     try:
         import collections
@@ -102,9 +127,11 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
            "calibrated_ceiling_gbps": ceiling}
     if ceiling:
         row["pct_of_calibrated_ceiling"] = round(100 * eff / ceiling, 1)
+    row["chained_wall_ms_per_launch"] = round(chained_ms, 3)
+    row["chained_windows_ms"] = [round(w * 1e3, 2) for w in cwins]
     if device_ms:
         eff_dev = traffic / (device_ms / 1e3) / 1e9
-        row["device_ms"] = round(device_ms, 3)
+        row["device_ms_static_estimate"] = round(device_ms, 3)
         row["device_effective_gbps"] = round(eff_dev, 1)
         if ceiling:
             row["device_pct_of_calibrated_ceiling"] = round(

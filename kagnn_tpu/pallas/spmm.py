@@ -21,21 +21,21 @@ with profiler DEVICE time end to end — CALIBRATION.json, ROOFLINE_SPMM.json):
     number previous rounds used as the ceiling is superseded — this
     kernel itself exceeded it by 42%, so every %-of-ceiling it produced
     was inflated;
-  * this kernel, r5 defaults (chunk 512, 4 DMA slots): f32-128 688 MB in
-    1.58 ms = 435 GB/s = ~72% of the demonstrated ceiling (was 1.86 ms /
-    370 GB/s at the old 1024/2 tiling); bf16-64 with pack=2 197 MB in
-    1.22 ms (was 1.50 ms for the padded pack-1 layout);
-  * the ~28% residual vs the DMA-only probe is the per-chunk indicator
+  * this kernel, r5 defaults (chunk 512, 4 DMA slots): the embedded
+    per-launch cost is BOUNDED, not point-measured — the profiler's
+    custom-call duration turned out to be a Mosaic STATIC ESTIMATE
+    (experiments/gat_sweep.py), so ROOFLINE_SPMM.json brackets it
+    between that estimate and a chained-wall upper bound (8 dependent
+    launches in one executable, wall/8): bf16-64 in [1.39, 4.18] ms vs a
+    0.39 ms DMA floor, f32-128 in [1.58, 4.32] vs 1.13;
+  * the residual vs the DMA-only probe is the per-chunk indicator
     build + one-hot MXU passes (an overlapping chunk pays a full-chunk
-    dot per receiver block it straddles). The round-3 claim that tiling
-    choices land "within ±5%" was a WALL-clock artifact — the tunnel's
-    ~3-5 ms dispatch gap swamped the real 15-20% differences the r5
-    device-time sweep (experiments/spmm_sweep.py) exposed;
+    dot per receiver block it straddles) — confirmed COMPUTE-bound by
+    the chained bounds nearly coinciding across dtypes (4.18 vs 4.32 ms
+    despite 3.5x the bytes);
   * the >=80%-of-SoL north star (BASELINE.md) is NOT met against the
-    honest ceiling at these widths: 72% f32-128; bf16-64 is
-    compute-bound (DMA floor 0.39 ms of its 1.22 ms). Stated plainly per
-    round-4 verdict item 1. Wall-clock standalone launches read ~4 ms
-    higher (tunnel dispatch gap); embedded launches pay device time only.
+    honest ceiling at these widths under ANY anchor. Stated plainly per
+    round-4 verdict item 1.
 Further headroom comes from FUSION (consuming the aggregate in-kernel so the
 (N, D) round-trip and the next layer's basis tensors never hit HBM — see
 pallas/gin_fused.py), not from more tiling.
