@@ -658,7 +658,7 @@ def _assemble_and_write(rows, args):
             gri = cal.get("gather", {}).get("w64_serial_inprogram",
                                             {}).get("rows_per_s_M")
         if gr:
-            n_gathers = 6  # 3 convs x (fwd msgs + bwd cotangent transpose)
+            n_gathers = 5  # r5 flagship HLO: 5 edge-space gathers/step
             gather_rows = n_gathers * (N_EDGES // 1024 * 1024 + 1024)
             gather_bytes = gather_rows * HID * BF
             stream_ms = (min_bytes - gather_bytes) / (ceiling * 1e9) * 1e3
@@ -668,12 +668,26 @@ def _assemble_and_write(rows, args):
             # valid lower bound; kept for the historical trail only.
             row_ms = gather_rows / (gr * 1e6) * 1e3
             out["rowrate_sol_ms_standalone"] = round(row_ms + stream_ms, 2)
-            if gri:
-                # realistic floor: the measured IN-PROGRAM serial gather
-                # rate (w64_serial_inprogram, CALIBRATION.json) — what
-                # back-to-back gathers inside one executable actually
-                # sustain. This is the floor pct_of_rowrate_sol uses.
+            # realistic floor: the fast gather class measured in-program
+            # (2.15 ms per E-row 128-lane pass — GATHER_CLASS.json
+            # in_program_observed; the r4 w64_serial_inprogram figure was
+            # the same class at an older measurement). This is the floor
+            # pct_of_rowrate_sol uses.
+            gcj = {}
+            try:
+                gcj = json.load(open(os.path.join(ROOT,
+                                                  "GATHER_CLASS.json")))
+            except Exception:
+                pass
+            fast_ms = (gcj.get("in_program_observed", {})
+                       .get("fast_128_bf16_ms"))
+            if fast_ms:
+                row_ms_i = n_gathers * fast_ms
+            elif gri:
                 row_ms_i = gather_rows / (gri * 1e6) * 1e3
+            else:
+                row_ms_i = None
+            if row_ms_i is not None:
                 out["rowrate_sol_ms"] = round(row_ms_i + stream_ms, 2)
                 out["pct_of_rowrate_sol"] = round(
                     100 * (row_ms_i + stream_ms) / step_ms, 1)
