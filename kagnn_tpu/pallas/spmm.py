@@ -216,17 +216,19 @@ def _fwd_impl(msgs, receivers, num_segments, interpret, *,
               chunk_rows: int | None = None, g_blocks: int | None = None,
               pack: int | None = None, dma_slots: int | None = None):
     e, d_orig = msgs.shape
-    # Defaults re-derived in round 5 with profiler DEVICE time
-    # (experiments/spmm_sweep.py): the round-3 "all tilings within ±5%"
-    # conclusion was a wall-clock artifact — the tunnel's ~3-5 ms dispatch
-    # gap swamped the real differences. At arxiv scale, chunk 512 / 4 DMA
-    # slots: f32-128 1.58 ms (was 1.86 at 1024/2), bf16-64 1.39 ms (was
-    # 1.50). PACK stays 1 by default: the pack-2 kernel alone measures
-    # 1.22 ms, but a narrow (E, 64) bf16 array physically occupies
-    # 128-lane tiles on TPU, so the (E/2, 128) repack XLA must insert
-    # OUTSIDE the kernel (materialized reshape+pad, ~1.6 ms/call in the
-    # r5 flagship profile) costs more than the in-kernel DMA saving —
-    # pack=2 remains available for callers that already hold packed data.
+    # Tiling defaults: chunk 512 / 4 DMA slots (round 5). The r5
+    # device-time sweep (experiments/spmm_sweep.py) suggested 15-20% wins
+    # over the r4 1024/2 tiling, but those durations were later shown to
+    # be Mosaic STATIC ESTIMATES (experiments/gat_sweep.py); the honest
+    # chained-wall arbitration measures the two tilings EQUIVALENT within
+    # noise (bf16-64: 4.45 vs 4.26 ms/launch incl. chain overhead) —
+    # i.e. the round-3 "all tilings within ±5%" conclusion was right.
+    # PACK stays 1 by default: a narrow (E, 64) bf16 array physically
+    # occupies 128-lane tiles on TPU, so the (E/2, 128) repack XLA must
+    # insert OUTSIDE the kernel (materialized reshape+pad, ~1.6 ms/call
+    # in the r5 flagship profile) costs more than the in-kernel DMA
+    # saving — pack=2 remains available for callers that already hold
+    # packed data.
     if pack is None:
         pack = 1
     if chunk_rows is None:
