@@ -328,15 +328,22 @@ def _measure_graphcls(warmup: int = 1, iters: int = 5,
         for b in loader():
             s, loss = train_step(s, b, key)
     float(loss)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        for b in loader():
-            s, loss = train_step(s, b, key)
-    last = float(loss)
-    float(jax.tree_util.tree_leaves(s.params)[0].sum())
-    sec = (time.perf_counter() - t0) / iters
+    # best-of-3 windows, same discipline as the node rows: the epoch time
+    # through the tunnel swings with host->device transfer noise and the
+    # degraded-first-window relay artifact
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for b in loader():
+                s, loss = train_step(s, b, key)
+        last = float(loss)
+        float(jax.tree_util.tree_leaves(s.params)[0].sum())
+        windows.append((time.perf_counter() - t0) / iters)
+    sec = min(windows)
     return {"sec_per_epoch": sec, "graphs_per_s": n_graphs_epoch / sec,
             "backend": jax.default_backend(),
+            "windows": [round(w, 5) for w in windows],
             "loss_finite": bool(np.isfinite(last))}
 
 
