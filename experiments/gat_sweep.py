@@ -1,10 +1,8 @@
-"""GAT kernel tiling sweep: per-launch DEVICE time of the three fused GAT
+"""GAT kernel tiling sweep: per-launch WALL windows of the three fused GAT
 Pallas kernels (fwd online-softmax aggregate, bwd dadst, bwd sender) as a
 function of the edge CHUNK size, at arxiv scale with the bench graph.
 
-The SpMM kernel's round-5 device-time sweep moved its defaults
-(chunk 512 / 4 DMA slots, -15-20%); the GAT kernels had never been swept
-and inherit CHUNK=1024 from round 3. Usage (on the TPU):
+Usage (on the TPU):
     python experiments/gat_sweep.py [--chunks 512,1024,2048]
 
 SWEEP RESULT (2026-08-21, committed as a negative result): wall clock
@@ -44,7 +42,6 @@ def main():
     import jax.numpy as jnp
 
     from kagnn_tpu.pallas import gat_bwd, gat_fused
-    from kagnn_tpu.utils.profiling import device_ms_per_call
 
     g, _ = bench._arxiv_batch()
     H, C = 4, 64
@@ -90,7 +87,13 @@ def main():
     # measurement discipline: the tunnel relay caches responses to
     # repeated identical executions and replays them with the original
     # timing (PERFORMANCE.md) — perturb the FIRST operand every iteration
-    # so every execution is unique
+    # with a bf16-EXACT factor (1 + k/64; the bf16 spacing near 1.0 is
+    # 2^-8, so a 1+1e-6 factor would round to exactly 1.0 and defeat
+    # nothing). WALL windows are the primary metric: the profiler's
+    # custom-call durations are Mosaic static estimates (see module
+    # docstring) and cannot detect tiling regressions.
+    import time
+
     cases = [("fwd", fwd, (h, asrc, adst)),
              ("dadst", dadst, (msgs, dout, adst, alpha, S)),
              ("sender", sender, (t_parts, nrw_table, h))]
@@ -101,23 +104,25 @@ def main():
             jf = jax.jit(fn)
             jax.block_until_ready(jf(*fargs))
 
-            def perturb(a):
+            def perturb(a, k):
+                f = 1.0 + (k % 7 + 1) / 64.0
                 if isinstance(a, tuple):
-                    return (perturb(a[0]),) + a[1:]
-                return a * jnp.asarray(1.0 + 1e-6, a.dtype)
+                    return (perturb(a[0], k),) + a[1:]
+                return a * jnp.asarray(f, a.dtype)
 
-            def run():
+            wins = []
+            k = 0
+            for _ in range(3):
+                t0 = time.perf_counter()
                 r = None
-                f0 = fargs
                 for _ in range(args.iters):
-                    f0 = (perturb(f0[0]),) + f0[1:]
-                    r = jf(*f0)
+                    k += 1
+                    r = jf(perturb(fargs[0], k), *fargs[1:])
                 jax.block_until_ready(r)
-
-            ms = device_ms_per_call(run, args.iters,
-                                    tag=f"gat_{name}_{chunk}")
-            print(f"chunk={chunk:5d} {name:7s} device_ms="
-                  f"{ms if ms is None else round(ms, 3)}", flush=True)
+                wins.append((time.perf_counter() - t0) / args.iters)
+            print(f"chunk={chunk:5d} {name:7s} wall_ms="
+                  f"{min(wins) * 1e3:.2f} windows="
+                  f"{[round(w * 1e3, 2) for w in wins]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -85,15 +85,28 @@ def flagship_min_bytes():
 
 def _timeit(fn, args, iters=10, warmup=2):
     """Best-of-3 windows (bench.py discipline): the relay sometimes settles
-    a new executable at a degraded rate for its first executions."""
+    a new executable at a degraded rate for its first executions.
+
+    Anti-replay perturbation uses bf16-REPRESENTABLE factors: the bf16
+    spacing near 1.0 is 2^-8, so the old 1+1e-6 factor rounded to exactly
+    1.0 on bf16 operands and every execution was bit-identical — precisely
+    the relay's replay-cache condition (round-5 review finding). Factors
+    of the form 1 + k/64 are exact in bf16, and tuple args (kernel part
+    streams) are perturbed element-wise instead of skipped."""
     import jax
     import jax.numpy as jnp
 
+    def _perturb(a, k):
+        f = 1.0 + (k % 7 + 1) / 64.0  # bf16-exact, distinct per call
+        if isinstance(a, (tuple, list)):
+            return type(a)(_perturb(x, k) for x in a)
+        if hasattr(a, "dtype") and a.dtype != jnp.int32:
+            return a * jnp.asarray(f, a.dtype)
+        return a
+
     outs = None
     for i in range(warmup):
-        outs = fn(*[a * (1 + 1e-6 * i)
-                    if hasattr(a, "dtype") and a.dtype != jnp.int32 else a
-                    for a in args])
+        outs = fn(*[_perturb(a, i) for a in args])
     jax.block_until_ready(outs)
     leaf = jax.tree_util.tree_leaves(outs)[0]
     float(jnp.asarray(leaf).reshape(-1)[0])
@@ -104,9 +117,7 @@ def _timeit(fn, args, iters=10, warmup=2):
         res = []
         for i in range(iters):
             j += 1
-            res.append(fn(*[a * (1 + 1e-6 * (j + 7))
-                            if hasattr(a, "dtype") and a.dtype != jnp.int32
-                            else a for a in args]))
+            res.append(fn(*[_perturb(a, j + 7) for a in args]))
         leaf = jax.tree_util.tree_leaves(res[-1])[0]
         float(jnp.asarray(leaf).reshape(-1)[0])
         jax.block_until_ready(res)

@@ -76,10 +76,15 @@ def main():
     out["in_program_observed"] = {
         "fast_128_bf16_ms": 2.15, "fast_256_bf16_ms": 3.71,
         "serialized_any_width_ms": "12.4-15.2",
-        "note": "GAT train-step profile 2026-08-21: identical (E,128) bf16 "
-                "gathers in one step measured 2.15 ms (alternate-memory "
-                "table, integer_config 0) and 12.4 ms (HBM table, "
-                "integer_config 128 serialized)"}
+        "frozen_observation_date": "2026-08-21",
+        "note": "FROZEN trace observation (GAT train-step profile "
+                "2026-08-21), NOT re-measured by this probe: identical "
+                "(E,128) bf16 gathers in one step measured 2.15 ms "
+                "(alternate-memory table, integer_config 0) and 12.4 ms "
+                "(HBM table, integer_config 128 serialized). Re-derive "
+                "from a fresh experiments/profile_step.py trace if the "
+                "compiler or hardware changes; ledger.py consumes "
+                "fast_128_bf16_ms as the row-rate-floor gather cost."}
     with open(os.path.join(os.path.dirname(__file__), "..",
                            "GATHER_CLASS.json"), "w") as fh:
         json.dump(out, fh, indent=1)

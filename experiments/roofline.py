@@ -56,7 +56,8 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
         t0 = time.perf_counter()
         res = []
         for i in range(iters):
-            res.append(fn(msgs * (1.0 + 1e-6 * (i + 1))))
+            res.append(fn(msgs * jnp.asarray(
+                1.0 + (i % 7 + 1) / 64.0, dt)))  # bf16-exact factor
         float(res[-1].sum())
         windows.append((time.perf_counter() - t0) / iters)
     sec = min(windows)
@@ -73,6 +74,9 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
         for _ in range(8):
             o = sorted_segment_sum(m, g.receivers, n, False)
             total = total + o[0, 0].astype(jnp.float32)
+            # in-program ordering dep; the value perturbation that defeats
+            # the relay's replay cache is the OUTER loop's (a replay
+            # can only happen per-execution, not per-launch)
             m = m0 * (1.0 + 1e-12 * total).astype(m0.dtype)
         return total
 
@@ -81,8 +85,9 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
     a = msgs
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(4):
-            a = a * jnp.asarray(1.0 + 1e-6, a.dtype)
+        for _k in range(4):
+            a = msgs * jnp.asarray(1.0 + (len(cwins) * 4 + _k % 4 + 1)
+                                   / 64.0, a.dtype)  # bf16-exact
             r = chain(a)
         float(r)
         cwins.append((time.perf_counter() - t0) / 4)
@@ -99,7 +104,8 @@ def spmm_row(d: int = 128, iters: int = 10, dtype: str = "float32") -> dict:
         tdir = "/tmp/kagnn_spmm_trace"
         shutil.rmtree(tdir, ignore_errors=True)
         with jax.profiler.trace(tdir):
-            res = [fn(msgs * (1.0 + 1e-6 * (i + 90))) for i in range(10)]
+            res = [fn(msgs * jnp.asarray(1.0 + (i % 7 + 1) / 64.0, dt))
+                   for i in range(10)]
             float(res[-1].sum())
         tf = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))
         if tf:

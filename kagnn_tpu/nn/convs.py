@@ -212,6 +212,15 @@ class GATConv(nn.Module):
             amat_dst = (att_dst[0][:, :, None]
                         * jnp.eye(H, dtype=att_dst.dtype)[:, None, :]
                         ).reshape(H * C, H)
+            if h.dtype != jnp.float32:
+                # round the logit matrices ONCE to the compute dtype so the
+                # host alpha dots, the kernel's per-edge recomputation
+                # (which casts amat to the message dtype) and the kernel's
+                # f32 self-logit path all consume identical values — the
+                # backward rematerializes self-loop weights from the host
+                # asrc, so a fwd/bwd mismatch here would bias dz_self
+                amat = amat.astype(h.dtype).astype(jnp.float32)
+                amat_dst = amat_dst.astype(h.dtype).astype(jnp.float32)
             h_flat = h.reshape(-1, H * C)
             dnum = (((1,), (0,)), ((), ()))
             alpha_src = jax.lax.dot_general(

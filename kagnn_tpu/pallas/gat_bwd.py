@@ -381,6 +381,8 @@ def _sender_kernel(offsets_ref, snd_ref, *refs, heads: int, c_head: int,
                 cot = _head_expand_k(w, C, H) * dout_e
                 if hc_eff > hc:
                     cot = jnp.pad(cot, ((0, 0), (0, hc_eff - hc)))
+                # (a round-5 single-bf16 accumulation probe here failed the
+                # 3e-3 grad-parity bar — the hi/lo pair stays)
                 acc_dh[sb] = _acc_rows(oh_bf, cot, acc_dh[sb])
                 acc_da[sb] = _acc_rows(oh_bf, dz, acc_da[sb])
 
@@ -418,9 +420,16 @@ def gat_bwd_sender(t_parts, nrw_table, senders_sorted_m, x_aug, amat, heads,
     if part_widths is None:
         # default: the standard 128-column split of dout (parts may arrive
         # lane-padded by gather_rows_padded, so widths can't be read off
-        # the shapes)
+        # the shapes). Only valid when the part COUNT matches that split —
+        # a caller with a nonstandard split must pass part_widths
+        # explicitly (a silently-wrong default would concatenate gather
+        # padding as data).
+        assert n_parts == -(-hc // 128), (
+            f"{n_parts} parts is not the standard 128-column split of "
+            f"hc={hc}; pass part_widths explicitly")
         part_widths = tuple(min(128, hc - 128 * p) for p in range(n_parts))
-    assert sum(part_widths) == hc, (part_widths, hc)
+    assert sum(part_widths) == hc and all(w > 0 for w in part_widths), (
+        part_widths, hc)
     part_lanes = -(-max(p.shape[1] for p in t_parts) // 128) * 128
     hc_eff = -(-hca // 128) * 128
     nrw_eff = -(-nrw_table.shape[1] // 128) * 128
