@@ -263,7 +263,7 @@ def _measure_node_path(path: str, warmup: int = 2, iters: int = 10) -> dict:
             "checksum": checksum}
 
 
-def _measure_graphcls(warmup: int = 1, iters: int = 5,
+def _measure_graphcls(warmup: int = 1, iters: int = 2,
                       native=None, prefetch: int = 2) -> dict:
     """Padded-minibatch graph classification (KAGIN/kan) through the native
     C++ batch assembler + host prefetch — the reference's DataLoader path
@@ -330,7 +330,10 @@ def _measure_graphcls(warmup: int = 1, iters: int = 5,
     float(loss)
     # best-of-3 windows, same discipline as the node rows: the epoch time
     # through the tunnel swings with host->device transfer noise and the
-    # degraded-first-window relay artifact
+    # degraded-first-window relay artifact. iters stays SMALL (2 epochs
+    # per window): every epoch uploads ~7 MB of batches through the
+    # ~1 MB/s tunnel, so total epochs bound the row's wall cost — 16
+    # epochs blew the per-group watchdog (observed twice 2026-08-21)
     windows = []
     for _ in range(3):
         t0 = time.perf_counter()
