@@ -721,12 +721,20 @@ def main():
     for grp in extras:
         if grp[0] == "graphcls-assembly":
             grp_est = 45.0
+        elif grp[0] == "graphcls-minibatch":
+            # upload-dominated (~7 MB of host-assembled batches per epoch
+            # through the ~1 MB/s tunnel) + its own model compile: a fixed
+            # estimate — the adaptive node-row estimate undershoots it and
+            # the 2.5x watchdog then kills a row that needs ~130-180 s
+            # (observed killed at watchdog in three full runs 2026-08-21)
+            grp_est = 110.0
         else:
             grp_est = est * (1.0 + 0.4 * (len(grp) - 1))
         # hung-row cost cap: 2.5x the estimate (compile variance headroom)
         took = _run_group(grp, headline, est_cost=grp_est,
                           group_timeout=max(120.0, grp_est * 2.5))
-        if took > 5.0 and grp[0] != "graphcls-assembly":
+        if took > 5.0 and grp[0] not in ("graphcls-assembly",
+                                         "graphcls-minibatch"):
             # cap: a one-off compile-heavy row (fresh executable after a
             # code change, ~270s observed) must not inflate the estimate
             # for warm-cache rows (~60-100s)
