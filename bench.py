@@ -328,14 +328,13 @@ def _measure_graphcls(warmup: int = 1, iters: int = 2,
         for b in loader():
             s, loss = train_step(s, b, key)
     float(loss)
-    # best-of-3 windows, same discipline as the node rows: the epoch time
-    # through the tunnel swings with host->device transfer noise and the
-    # degraded-first-window relay artifact. iters stays SMALL (2 epochs
-    # per window): every epoch uploads ~7 MB of batches through the
-    # ~1 MB/s tunnel, so total epochs bound the row's wall cost — 16
-    # epochs blew the per-group watchdog (observed twice 2026-08-21)
+    # best-of-2 windows (the min already discards the degraded-first-
+    # window relay artifact): every epoch uploads ~7 MB of batches
+    # through the ~1 MB/s tunnel, so total epochs bound the row's wall
+    # cost — 16 epochs blew the per-group watchdog, and a third window
+    # costs ~30 s that squeezed the assembly row out of the budget
     windows = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         for _ in range(iters):
             for b in loader():
