@@ -727,6 +727,11 @@ def main():
             # the 2.5x watchdog then kills a row that needs ~130-180 s
             # (observed killed at watchdog in three full runs 2026-08-21)
             grp_est = 110.0
+        elif grp[0] == "graphcls-python-loader":
+            # same upload-dominated cost x2 rows; a realistic fixed
+            # estimate makes a squeezed budget SKIP the pair cleanly
+            # instead of starting it and killing it at the deadline
+            grp_est = 160.0
         else:
             grp_est = est * (1.0 + 0.4 * (len(grp) - 1))
         # hung-row cost cap: 2.5x the estimate (compile variance headroom)
